@@ -1,0 +1,143 @@
+"""Static-shape greedy NMS (plain / class-aware / score-thresholded).
+
+Capability parity with the reference's three sequential NMS loops —
+`AIServer/ai_api/ai_models/utils/tf_iou_utils.py:67-157` (``GetIOUNMS``,
+``GetIOUNMSByClasses``) and `efficientnet/utils/nms.py:4-61` (``get_nms``
+with a score threshold) — which are dynamic-shape ``tf.while_loop`` +
+``boolean_mask`` programs and therefore unrunnable under XLA's static-shape
+model.
+
+TPU-native re-design: fixed-capacity inputs with a validity mask.  Boxes are
+sorted by score once; a ``fori_loop`` walks the sorted order and maintains a
+*suppressed* bitmask.  Each step computes one IoU row (O(N) memory, not the
+O(N²) matrix), and a box only suppresses strictly lower-scored boxes when it
+is itself kept — exactly the greedy semantics of the reference loops, so the
+selected indices and their order match the sequential algorithm 1:1.
+
+Returned indices are padded to ``max_output_size`` with a validity mask.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tmv_tpu.ops.iou import iou_xyxy, iou_yxyx
+
+_NEG_INF = float("-inf")
+
+
+def _iou_fn(coord: str, iou_type: str):
+    if coord == "xyxy":
+        return partial(iou_xyxy, iou_type=iou_type)
+    if coord == "yxyx":
+        return partial(iou_yxyx, iou_type=iou_type)
+    raise ValueError(f"unknown coord convention {coord!r}")
+
+
+def _greedy_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    classes: Optional[jax.Array],
+    max_output_size: int,
+    iou_threshold: float,
+    score_threshold: float,
+    iou_type: str,
+    coord: str,
+):
+    n = boxes.shape[0]
+    iou = _iou_fn(coord, iou_type)
+
+    neg = jnp.where(valid, scores, _NEG_INF)
+    order = jnp.argsort(-neg, stable=True)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    valid_s = valid[order]
+    eligible = valid_s & (scores_s >= score_threshold)
+    if classes is not None:
+        classes_s = classes[order]
+
+    idxs = jnp.arange(n)
+
+    def body(i, suppressed):
+        keep_i = jnp.logical_and(jnp.logical_not(suppressed[i]), eligible[i])
+        # IoU of box i against every box; only later (lower-scored) ones count.
+        row = iou(boxes_s[i][None, :], boxes_s)
+        sup = (row >= iou_threshold) & (idxs > i)
+        if classes is not None:
+            sup = sup & (classes_s == classes_s[i])
+        return jnp.where(keep_i, suppressed | sup, suppressed)
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
+    kept = jnp.logical_not(suppressed) & eligible
+    # First `max_output_size` kept boxes, in score order (= reference order).
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    kept = kept & (rank < max_output_size)
+
+    # Scatter kept sorted-positions into output slots [0, max_output_size).
+    slot = jnp.where(kept, rank, max_output_size)
+    out_idx = jnp.zeros((max_output_size + 1,), dtype=jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop"
+    )[:max_output_size]
+    out_valid = jnp.zeros((max_output_size + 1,), dtype=bool).at[slot].set(
+        True, mode="drop"
+    )[:max_output_size]
+    return out_idx, out_valid
+
+
+def nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: Optional[jax.Array] = None,
+    max_output_size: int = 500,
+    iou_threshold: float = 0.5,
+    score_threshold: float = _NEG_INF,
+    iou_type: str = "iou",
+    coord: str = "xyxy",
+):
+    """Greedy NMS over padded candidates.
+
+    Args:
+        boxes: ``(N, 4)`` corner boxes in ``coord`` convention.
+        scores: ``(N,)``.
+        valid: ``(N,)`` bool padding mask (None = all valid).
+        max_output_size: output capacity.
+        score_threshold: candidates below it are dropped
+            (`efficientnet/utils/nms.py:44` semantics).
+
+    Returns:
+        ``(indices, valid_out)``: int32 ``(max_output_size,)`` indices into the
+        input (padded with 0) and a bool mask of real entries, ordered by
+        descending score like the reference's sequential loops.
+    """
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
+    return _greedy_nms(
+        boxes, scores, valid, None, max_output_size, iou_threshold,
+        score_threshold, iou_type, coord,
+    )
+
+
+def nms_by_classes(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    valid: Optional[jax.Array] = None,
+    max_output_size: int = 500,
+    iou_threshold: float = 0.5,
+    score_threshold: float = _NEG_INF,
+    iou_type: str = "iou",
+    coord: str = "xyxy",
+):
+    """Class-aware greedy NMS: a box only suppresses boxes of its own class.
+
+    Semantics of ``GetIOUNMSByClasses`` (`utils/tf_iou_utils.py:111-157`).
+    """
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
+    return _greedy_nms(
+        boxes, scores, valid, classes, max_output_size, iou_threshold,
+        score_threshold, iou_type, coord,
+    )
