@@ -1,0 +1,106 @@
+"""mAP parity: run the reference's numpy evaluator as an oracle.
+
+`utils/mAP.py` is pure numpy, so we import it read-only from /root/reference
+(shimming the removed `np.float` alias) and assert bit-equality with our
+re-implementation, including the mrec/mpre name-swap quirk.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+from tmv_tpu.ops.map_eval import get_ap, get_ap_voc, get_map, get_map_one
+
+REF_MAP = "/root/reference/AIServer/ai_api/ai_models/utils/mAP.py"
+
+
+@pytest.fixture(scope="module")
+def ref_map():
+    if not hasattr(np, "float"):
+        np.float = float  # numpy>=1.24 removed the alias the reference uses
+    spec = importlib.util.spec_from_file_location("ref_mAP", REF_MAP)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_mAP"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_data(rng, n_images=3, n_classes=4, max_gt=6, max_pred=8):
+    data = []
+    for _ in range(n_images):
+        gts, preds = [], []
+        for _ in range(rng.integers(1, max_gt)):
+            x1, y1 = rng.uniform(0, 80, 2)
+            w, h = rng.uniform(5, 30, 2)
+            gts.append([x1, y1, x1 + w, y1 + h, int(rng.integers(0, n_classes))])
+        for g in gts:
+            if rng.uniform() < 0.7:  # jittered copy of a GT
+                dx, dy = rng.normal(0, 3, 2)
+                preds.append([g[0] + dx, g[1] + dy, g[2] + dx, g[3] + dy,
+                              g[4], float(rng.uniform(0.3, 1.0))])
+        for _ in range(rng.integers(0, max_pred // 2)):  # false positives
+            x1, y1 = rng.uniform(0, 80, 2)
+            w, h = rng.uniform(5, 30, 2)
+            preds.append([x1, y1, x1 + w, y1 + h,
+                          int(rng.integers(0, n_classes)),
+                          float(rng.uniform(0.1, 1.0))])
+        if not preds:
+            preds.append([0, 0, 1, 1, 0, 0.1])
+        data.append({"image_path": "*.jpg", "groud_truth": gts,
+                     "prediction": preds})
+    return data
+
+
+class TestReferenceParity:
+    def test_reference_readme_example(self, ref_map):
+        data = [
+            {"image_path": "*.jpg",
+             "groud_truth": [[1, 1, 2, 2, 1], [1, 1, 2, 2, 2],
+                             [1, 1.3, 2.4, 2, 1], [3, 1, 4, 2, 2]],
+             "prediction": [[1.1, 1, 2.1, 2.2, 1, 0.8],
+                            [1.2, 1.2, 2.2, 2.2, 2, 0.7],
+                            [1.1, 1.3, 2.4, 2.1, 1, 0.6],
+                            [1.1, 1.1, 2.1, 2.1, 1, 0.9]]},
+            {"image_path": "*.jpg",
+             "groud_truth": [[1, 1, 2, 2, 1], [1, 1, 2, 2, 2],
+                             [1, 1.3, 2.4, 2, 1], [3, 1, 4, 2, 2],
+                             [3, 1, 4, 2, 0]],
+             "prediction": [[1.1, 1, 2.1, 2.2, 1, 0.8],
+                            [1.2, 1.2, 2.2, 2.2, 2, 0.7],
+                            [1.1, 1.3, 2.4, 2.1, 1, 0.7],
+                            [1.1, 1.1, 2.1, 2.1, 1, 0.6]]},
+        ]
+        want = ref_map.Get_mAP(data, class_num=3, thresh=0.5)
+        got = get_map(data, class_num=3, thresh=0.5)
+        assert got == pytest.approx(want, abs=1e-12)
+
+    def test_random_data_parity(self, ref_map, rng):
+        for _ in range(5):
+            data = make_data(rng)
+            for c in range(4):
+                want = ref_map.Get_AP(data, c, thresh=0.5)
+                got = get_ap(data, c, thresh=0.5)
+                assert got == pytest.approx(want, abs=1e-12)
+
+    def test_get_map_one(self, ref_map, rng):
+        data = make_data(rng, n_images=1)
+        want = ref_map.Get_mAP_one(data[0]["groud_truth"],
+                                   data[0]["prediction"], 4, thresh=0.5)
+        got = get_map_one(data[0]["groud_truth"], data[0]["prediction"], 4)
+        assert got == pytest.approx(want, abs=1e-12)
+
+
+class TestVocVariant:
+    def test_perfect_predictions_give_ap1(self):
+        gts = [[10, 10, 30, 30, 0], [50, 50, 70, 80, 0]]
+        preds = [g[:4] + [0, 0.9] for g in gts]
+        data = [{"image_path": "x", "groud_truth": gts, "prediction": preds}]
+        assert get_ap_voc(data, 0) == pytest.approx(1.0)
+
+    def test_all_misses_give_ap0(self):
+        data = [{"image_path": "x",
+                 "groud_truth": [[10, 10, 30, 30, 0]],
+                 "prediction": [[60, 60, 80, 80, 0, 0.9]]}]
+        assert get_ap_voc(data, 0) == pytest.approx(0.0)

@@ -1,0 +1,51 @@
+"""Checkpoint save/restore with latest-step resume (orbax-backed).
+
+Capability parity with the reference's three checkpoint mechanisms
+(`SURVEY.md` §5): Keras ``ModelCheckpoint`` / ``SaveCallback``
+(`callbacks/save.py:10-14`) and the ``tf.train.latest_checkpoint`` resume
+probe each trainer performs (`yolo_v3/train.py:60-70`), where
+``initial_epoch`` is derived from the optimizer iteration count.  Here the
+step lives in the ``TrainState`` pytree so resume is exact.
+"""
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: numbered step checkpoints + latest restore."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False):
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_template`` (abstract or
+        concrete pytree). Returns the template unchanged when no checkpoint
+        exists (fresh start)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return state_template
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,124 @@
+"""Train state and step factories for the whole zoo.
+
+Replaces the reference's Keras ``Model.fit`` + custom ``train_step`` harness
+(`yolo_v3/model.py:188-227`, `efficientnet/efficientdet_net_train.py:112-133`)
+with an explicit functional state pytree driven by jitted steps:
+
+- ``TrainState``: params / batch_stats (BN moments) / optimizer state / step,
+  plus the reference's two EMA mechanisms — the *shadow loss* scalar
+  (`yolo_v3/model.py:205-210`: gradients are effectively scaled by
+  ``1 − decay`` because the EMA-blended loss only backprops through the live
+  term) and optional *shadow params* (weight EMA: tfa ``MovingAverage`` at
+  `efficientnet/train.py:118-120`, manual shadow model at
+  `facenet/facenet_model.py:304-312`).
+- ``make_train_step``: grad + optax update + BN-state threading, with
+  optional global-norm clipping (``clip_by_global_norm(10)`` semantics at
+  `efficientdet_net_train.py:125-131`) — built once, jitted by the caller or
+  wrapped in ``shard_map`` by ``tmv_tpu.parallel``.
+"""
+
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from tmv_tpu.core.schedules import shadow_loss_decay
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    shadow_loss: jax.Array
+    ema_params: Optional[Any] = None
+    extra: Optional[Any] = None  # model-specific (MoCo queue, key params, …)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx: optax.GradientTransformation,
+               ema_decay: Optional[float] = None, extra=None):
+        state = cls(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            shadow_loss=jnp.zeros((), jnp.float32),
+            ema_params=jax.tree.map(jnp.array, params) if ema_decay else None,
+            extra=extra,
+        )
+        return state
+
+
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    clip_global_norm: Optional[float] = None,
+    shadow_loss: bool = False,
+    loss_decay: float = 0.9,
+    ema_decay: Optional[float] = None,
+):
+    """Build a pure train step ``(state, batch, rng) -> (state, metrics)``.
+
+    Args:
+        loss_fn: ``(params, batch_stats, batch, rng) ->
+            (loss, (new_batch_stats, aux_metrics))``.
+        clip_global_norm: optional global-norm gradient clip.
+        shadow_loss: enable the YOLO-family loss-EMA gradient damping
+            (`yolo_v3/model.py:205-210`): after the warmup ramp the effective
+            gradient is scaled by ``1 − decay``.
+        ema_decay: optional weight-EMA decay (tfa MovingAverage parity).
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        def raw_loss(params):
+            loss, (new_stats, aux) = loss_fn(params, state.batch_stats, batch, rng)
+            return loss, (new_stats, aux)
+
+        (loss, (new_stats, aux)), grads = jax.value_and_grad(
+            raw_loss, has_aux=True
+        )(state.params)
+
+        if shadow_loss:
+            decay = shadow_loss_decay(state.step, loss_decay)
+            # step > 1 gate as in the reference (optimizer.iterations > 1)
+            use = (state.step > 1).astype(jnp.float32)
+            scale = use * (1.0 - decay) + (1.0 - use)
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            blended = scale * loss + use * decay * state.shadow_loss
+            new_shadow = blended
+            loss_report = blended
+        else:
+            new_shadow = state.shadow_loss
+            loss_report = loss
+
+        metrics = {"loss": loss_report, "raw_loss": loss, **aux}
+        if clip_global_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_global_norm / (gnorm + 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            metrics["gnorm"] = gnorm
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params, new_params,
+            )
+
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            shadow_loss=new_shadow,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,198 @@
+"""YOLO training data pipeline: sampler → host decode → device aug+targets.
+
+Capability parity with ``DataGenerator`` (`datasets/coco_dataset.py:16-345`):
+class-balanced sampling, the random aspect/scale/place/flip/HSV augmentation,
+grid-target assignment, batching and prefetch.
+
+TPU re-design of the host/device split: the host thread only decodes JPEGs
+and resizes them to a *fixed* staging resolution (content letterboxed), so
+every downstream step — scale/aspect jitter, placement, flip, HSV, target
+scatter — is one jitted, batched device program (`_augment_and_targets`).
+This replaces tf.data's per-sample ``map`` graphs with batch-level XLA and
+keeps the TPU input pipeline free of dynamic shapes.
+"""
+
+import threading
+from queue import Queue
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmv_tpu.data.image_ops import flip_boxes_lr, hsv_shift, load_image
+from tmv_tpu.data.loaders import load_anchors, load_classes, load_labels
+from tmv_tpu.data.samplers import ClassBalancedSampler
+from tmv_tpu.data.yolo_targets import make_yolo_targets, pad_labels
+
+
+def _augment_one(img, boxes, valid, key, image_wh, jitter, hue, sat, val,
+                 flip, src_wh):
+    """Device-side augmentation of one staged image.
+
+    Matches `coco_dataset.py:112-183`: random aspect (new_ar), random scale
+    (0.25..2), random placement, flip, HSV.  The staged image is already at
+    (H, W) with content occupying the full frame (host resizes exactly to
+    the staging size, distorting aspect; the aspect jitter folds the
+    correction in, preserving the reference's *distribution* of crops).
+    """
+    w, h = image_wh
+    k_ar1, k_ar2, k_scale, k_dx, k_dy, k_flip, k_hsv = jax.random.split(key, 7)
+    new_ar = (w / h) * (
+        jax.random.uniform(k_ar1, (), minval=1 - jitter, maxval=1 + jitter)
+        / jax.random.uniform(k_ar2, (), minval=1 - jitter, maxval=1 + jitter)
+    )
+    scale = jax.random.uniform(k_scale, (), minval=0.25, maxval=2.0)
+    nh = jnp.where(new_ar < 1, jnp.floor(scale * h),
+                   jnp.floor(jnp.floor(scale * w) / new_ar))
+    nw = jnp.where(new_ar < 1, jnp.floor(nh * new_ar), jnp.floor(scale * w))
+
+    # resize content to (nh, nw) inside an (h, w) canvas at offset (dy, dx):
+    # implemented as one inverse-affine gather (scale + translate), the
+    # XLA-friendly equivalent of resize + PadOrCropToBoundingBox.
+    dx = jnp.floor(jax.random.uniform(k_dx, (), minval=0.0, maxval=1.0) * (w - nw))
+    dy = jnp.floor(jax.random.uniform(k_dy, (), minval=0.0, maxval=1.0) * (h - nh))
+
+    src_h, src_w = img.shape[0], img.shape[1]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    src_y = (ys - dy) * (src_h / nh)
+    src_x = (xs - dx) * (src_w / nw)
+    in_y = (src_y >= 0) & (src_y <= src_h - 1)
+    in_x = (src_x >= 0) & (src_x <= src_w - 1)
+    y0 = jnp.clip(jnp.floor(src_y), 0, src_h - 1)
+    x0 = jnp.clip(jnp.floor(src_x), 0, src_w - 1)
+    y1 = jnp.clip(y0 + 1, 0, src_h - 1)
+    x1 = jnp.clip(x0 + 1, 0, src_w - 1)
+    wy = jnp.clip(src_y, 0, src_h - 1) - y0
+    wx = jnp.clip(src_x, 0, src_w - 1) - x0
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    imgf = img.astype(jnp.float32)
+    top = imgf[y0i][:, x0i] * (1 - wx)[None, :, None] + imgf[y0i][:, x1i] * wx[None, :, None]
+    bot = imgf[y1i][:, x0i] * (1 - wx)[None, :, None] + imgf[y1i][:, x1i] * wx[None, :, None]
+    out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+    mask2d = (in_y[:, None] & in_x[None, :])[..., None]
+    out = jnp.where(mask2d, out, 0.0)
+
+    # boxes: from source pixels → canvas pixels
+    sx = nw / src_w
+    sy = nh / src_h
+    boxes = boxes * jnp.asarray([sx, sy, sx, sy]) + jnp.asarray([dx, dy, dx, dy])
+    boxes = jnp.clip(boxes, 0.0, jnp.asarray([w, h, w, h], jnp.float32))
+
+    do_flip = flip & (jax.random.uniform(k_flip) < 0.5)
+    out = jnp.where(do_flip, out[:, ::-1, :], out)
+    boxes = jnp.where(do_flip, flip_boxes_lr(boxes, float(w)), boxes)
+
+    out = hsv_shift(out / 255.0, k_hsv, hue, sat, val)
+
+    boxes_wh = boxes[:, 2:4] - boxes[:, 0:2]
+    valid = valid & (boxes_wh[:, 0] > 1) & (boxes_wh[:, 1] > 1)
+    return out, boxes, valid
+
+
+class YoloDataPipeline:
+    """End-to-end pipeline yielding device-ready batches.
+
+    Batch dict: ``image`` (B, H, W, 3) float [0,1]; ``targets`` tuple of
+    per-scale grids — the exact structures ``make_yolo_loss_fn`` consumes.
+    """
+
+    def __init__(
+        self,
+        image_path: str,
+        label_path: str,
+        classes_path: str,
+        batch_size: int,
+        anchors: np.ndarray,
+        image_wh: Tuple[int, int] = (416, 416),
+        label_mean: bool = True,
+        image_random: bool = True,
+        jitter: float = 0.3,
+        hue: float = 0.1,
+        sat: float = 1.5,
+        val: float = 1.5,
+        flip: bool = True,
+        max_boxes: int = 100,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.classes, self.classes_num = load_classes(classes_path)
+        self.labels, self.labels_num = load_labels(
+            label_path, image_path, self.classes
+        )
+        self.batch_size = batch_size
+        self.anchors_wh = np.asarray(anchors)
+        self.image_wh = image_wh
+        self.image_random = image_random
+        self.aug = dict(jitter=jitter, hue=hue, sat=sat, val=val, flip=flip)
+        self.max_boxes = max_boxes
+        self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
+        self.key = jax.random.key(seed)
+        self.prefetch = prefetch
+        self._build_device_fns()
+
+    def _build_device_fns(self):
+        image_wh = self.image_wh
+        anchors = self.anchors_wh
+        classes_num = self.classes_num
+        aug = self.aug
+        random_on = self.image_random
+
+        def batch_fn(images, boxes, classes, valid, key):
+            keys = jax.random.split(key, images.shape[0])
+
+            def per_image(img, bxs, cls, vld, k):
+                if random_on:
+                    img01, bxs, vld = _augment_one(
+                        img, bxs, vld, k, image_wh, aug["jitter"], aug["hue"],
+                        aug["sat"], aug["val"], aug["flip"],
+                        (image_wh[1], image_wh[0]),
+                    )
+                else:
+                    img01 = img.astype(jnp.float32) / 255.0
+                targets = make_yolo_targets(
+                    bxs, cls, vld, anchors, image_wh, classes_num
+                )
+                return img01, targets
+
+            return jax.vmap(per_image)(images, boxes, classes, valid, keys)
+
+        self._batch_fn = jax.jit(batch_fn)
+
+    def _stage_one(self, label: Dict):
+        """Host: decode + letterbox-resize to the staging resolution."""
+        img = load_image(label["image_path"])
+        src_h, src_w = img.shape[0], img.shape[1]
+        w, h = self.image_wh
+        # PIL resize to exactly (h, w); boxes scale accordingly
+        from PIL import Image
+
+        im = Image.fromarray(img).resize((w, h), Image.BILINEAR)
+        boxes = np.asarray(label["boxes"], np.float32).reshape(-1, 4)
+        boxes = boxes * np.asarray(
+            [w / src_w, h / src_h, w / src_w, h / src_h], np.float32
+        )
+        b, c, v = pad_labels(boxes, label["classes"], self.max_boxes)
+        return np.asarray(im), b, c, v
+
+    def __iter__(self) -> Iterator[Dict]:
+        it = iter(self.sampler)
+        while True:
+            imgs, boxes, classes, valid = [], [], [], []
+            for _ in range(self.batch_size):
+                i, b, c, v = self._stage_one(next(it))
+                imgs.append(i)
+                boxes.append(b)
+                classes.append(c)
+                valid.append(v)
+            self.key, sub = jax.random.split(self.key)
+            images01, targets = self._batch_fn(
+                jnp.asarray(np.stack(imgs)),
+                jnp.asarray(np.stack(boxes)),
+                jnp.asarray(np.stack(classes)),
+                jnp.asarray(np.stack(valid)),
+                sub,
+            )
+            yield {"image": images01, "targets": targets}

@@ -1,0 +1,179 @@
+"""EfficientNet backbone: Stem + MBConv chain with reduction endpoints.
+
+Parity surface:
+- ``Stem`` — `layers/stem.py:6-38` (3×3 s2 conv, width-scaled, BN, swish;
+  fan-out normal init per `utils/conv_kernel_initializer.py:4-25`).
+- ``MBConvBlock`` — `layers/mb_conv_block.py:8-160`: 1×1 expand (skipped at
+  expand_ratio 1) → depthwise k×k → SE → 1×1 project, BN after each conv.
+  NOTE the reference block has **no residual skip** (its ``call`` returns
+  the projection directly, mb_conv_block.py:127-160) — replicated
+  faithfully, since converted checkpoints and activations must match.
+- ``SE`` — `layers/se.py:5-39`.
+- ``BackboneModel`` — `efficientnet/backbone_model.py:12-148`: builds blocks
+  from width/depth-scaled args, tracks ``reduction_1..5`` endpoints (tap =
+  last block before a stride-2 block, plus the final block), returns
+  ``[final, r1..r5]``.
+"""
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from tmv_tpu.models.efficientdet.config import (
+    EfficientDetBlockArgs,
+    round_filters,
+    round_repeats,
+)
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Fan-out normal (`utils/conv_kernel_initializer.py`): N(0, √(2/fan_out))."""
+    import jax
+
+    kh, kw, _, out_f = shape
+    fan_out = int(kh * kw * out_f)
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+
+
+def depthwise_kernel_init(key, shape, dtype=jnp.float32):
+    """For depthwise HWIO kernels (I=1, O=channels·multiplier): TF counts
+    fan_out with the multiplier only, i.e. kh·kw·multiplier."""
+    import jax
+
+    kh, kw, _, _ = shape
+    fan_out = int(kh * kw)  # depth_multiplier == 1
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+
+
+class SE(nn.Module):
+    """Squeeze-and-excitation gate (`layers/se.py:5-39`)."""
+
+    se_filters: int
+    output_filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(self.se_filters, (1, 1), padding="SAME", use_bias=True,
+                     kernel_init=conv_kernel_init, dtype=self.dtype)(se)
+        se = nn.swish(se)
+        se = nn.Conv(self.output_filters, (1, 1), padding="SAME", use_bias=True,
+                     kernel_init=conv_kernel_init, dtype=self.dtype)(se)
+        return nn.sigmoid(se) * x
+
+
+class Stem(nn.Module):
+    stem_filters: int
+    width_coefficient: float
+    depth_divisor: int
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        filters = round_filters(
+            self.stem_filters, self.width_coefficient, self.depth_divisor
+        )
+        x = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                         dtype=self.dtype)(x)
+        return nn.swish(x)
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck (reference variant: no residual skip)."""
+
+    block_args: EfficientDetBlockArgs
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        args = self.block_args
+        filters = args.input_filters * args.expand_ratio
+
+        def bn(y):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.bn_momentum,
+                                epsilon=self.bn_epsilon, dtype=self.dtype)(y)
+
+        if args.expand_ratio != 1:
+            x = nn.Conv(filters, (1, 1), padding="SAME", use_bias=False,
+                        kernel_init=conv_kernel_init, dtype=self.dtype)(x)
+            x = nn.swish(bn(x))
+
+        # depthwise k×k
+        x = nn.Conv(filters, (args.kernel_size, args.kernel_size),
+                    strides=tuple(args.strides), padding="SAME",
+                    feature_group_count=filters, use_bias=False,
+                    kernel_init=depthwise_kernel_init, dtype=self.dtype)(x)
+        x = nn.swish(bn(x))
+
+        num_reduced = max(1, int(args.input_filters * args.se_ratio))
+        x = SE(num_reduced, filters, self.dtype)(x)
+
+        x = nn.Conv(args.output_filters, (1, 1), padding="SAME",
+                    use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype)(x)
+        return bn(x)
+
+
+class BackboneModel(nn.Module):
+    """Stem + scaled MBConv chain; returns ``[final, reduction_1..5]``."""
+
+    blocks_args: Sequence[EfficientDetBlockArgs]
+    width_coefficient: float = 1.0
+    depth_coefficient: float = 1.0
+    depth_divisor: int = 8
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    def scaled_blocks(self) -> List[EfficientDetBlockArgs]:
+        out = []
+        for args in self.blocks_args:
+            assert args.num_repeat > 0
+            scaled = args._replace(
+                input_filters=round_filters(
+                    args.input_filters, self.width_coefficient, self.depth_divisor
+                ),
+                output_filters=round_filters(
+                    args.output_filters, self.width_coefficient, self.depth_divisor
+                ),
+                num_repeat=round_repeats(args.num_repeat, self.depth_coefficient),
+            )
+            out.append(scaled)
+            if scaled.num_repeat > 1:
+                rest = scaled._replace(
+                    input_filters=scaled.output_filters, strides=(1, 1)
+                )
+                out.extend([rest] * (scaled.num_repeat - 1))
+        # flatten: one entry per physical block
+        flat = []
+        for a in out:
+            flat.append(a._replace(num_repeat=1))
+        return flat
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Stem(self.blocks_args[0].input_filters, self.width_coefficient,
+                 self.depth_divisor, self.bn_momentum, self.bn_epsilon,
+                 self.dtype)(x, train)
+        blocks = self.scaled_blocks()
+        reductions = []
+        for idx, args in enumerate(blocks):
+            is_last = idx == len(blocks) - 1
+            next_downsamples = (not is_last) and blocks[idx + 1].strides[0] > 1
+            x = MBConvBlock(args, self.bn_momentum, self.bn_epsilon,
+                            self.dtype)(x, train)
+            if is_last or next_downsamples:
+                reductions.append(x)
+        return [x] + reductions

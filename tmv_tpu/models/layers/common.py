@@ -1,0 +1,111 @@
+"""Shared conv building blocks (flax.linen, NHWC).
+
+Parity surface: the Darknet conv wrappers of
+`AIServer/ai_api/ai_models/utils/tf_yolo_utils.py:272-333`
+(``DarknetConv2D`` — he_uniform init, l2 5e-4 (applied in the loss via
+``ops.losses.l2_regularization``), valid padding with a top-left zero pad
+when stride 2 — and the ``…_BN_Leaky`` / ``…_BN_Mish`` composites).
+
+BatchNorm matches Keras defaults (momentum 0.99, epsilon 1e-3) so that
+converted reference checkpoints reproduce activations.  The compute dtype is
+configurable (bfloat16 on TPU); BN statistics stay float32.
+"""
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tmv_tpu.ops.activations import leaky_relu, mish, swish
+
+Dtype = Any
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "leaky": leaky_relu,
+    "mish": mish,
+    "swish": swish,
+    "relu": nn.relu,
+    "linear": lambda x: x,
+}
+
+
+class DarknetConv(nn.Module):
+    """Conv2D with Darknet padding semantics (no BN, optional bias)."""
+
+    filters: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        strides = _pair(self.strides)
+        # Darknet downsampling: top-left zero pad + VALID
+        # (ZeroPadding2D(((1,0),(1,0))) in yolo_v3/model.py:17)
+        padding = ((1, 0), (1, 0)) if strides == (2, 2) else "SAME"
+        return nn.Conv(
+            self.filters,
+            _pair(self.kernel_size),
+            strides=strides,
+            padding=padding,
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.he_uniform(),
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvBN(nn.Module):
+    """Conv → BatchNorm → activation (DarknetConv2D_BN_{Leaky,Mish} parity)."""
+
+    filters: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    act: str = "leaky"
+    dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DarknetConv(
+            self.filters, self.kernel_size, self.strides,
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+        )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+def max_pool_same(x, window: int, strides: int = 1):
+    """MaxPool2D with SAME padding (SPP pools, `yolo_v4/model.py:109-111`)."""
+    return nn.max_pool(
+        x, (window, window), strides=(strides, strides), padding="SAME"
+    )
+
+
+def upsample2x(x, method: str = "nearest"):
+    """UpSampling2D(2) parity (nearest by default)."""
+    b, h, w, c = x.shape
+    if method == "nearest":
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    import jax
+
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method=method)
+
+
+def resize_bilinear(x, size: Tuple[int, int]):
+    """tf.image.resize default (bilinear, half-pixel) parity."""
+    import jax
+
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")

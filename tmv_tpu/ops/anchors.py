@@ -167,12 +167,16 @@ class Anchors:
         iou_threshold: float = 0.5,
         score_threshold: float = 0.0001,
         iou_type: str = "diou",
+        pre_nms_size: int = 1024,
     ):
         """Per-image decode → background filter → DIoU-NMS → sigmoid scores.
 
         Static-shape equivalent of anchors.py:160-202: instead of
         ``boolean_mask``-ing background anchors away, their scores are set to
-        -inf so NMS's score threshold drops them.
+        -inf so NMS's score threshold drops them; the top ``pre_nms_size``
+        candidates by class score enter NMS (exact vs the reference as long
+        as fewer foreground anchors than that survive — the sequential loop
+        itself caps at ``max_output_size``).
 
         Returns (boxes, classes_id, scores, valid) padded to
         ``max_output_size``.
@@ -191,18 +195,21 @@ class Anchors:
         boxes_cat = jnp.concatenate(all_boxes, axis=0)
         ids_cat = jnp.concatenate(all_ids, axis=0)
         scores_cat = jnp.concatenate(all_scores, axis=0)
+        k = min(pre_nms_size, scores_cat.shape[0])
+        _, cand = jax.lax.top_k(scores_cat, k)
         idx, valid = nms(
-            boxes_cat,
-            scores_cat,
+            boxes_cat[cand],
+            scores_cat[cand],
             max_output_size=max_output_size,
             iou_threshold=iou_threshold,
             score_threshold=score_threshold,
             iou_type=iou_type,
             coord="yxyx",
         )
-        nms_boxes = boxes_cat[idx]
-        nms_ids = ids_cat[idx]
-        nms_scores = jax.nn.sigmoid(scores_cat[idx])
+        sel = cand[idx]
+        nms_boxes = boxes_cat[sel]
+        nms_ids = ids_cat[sel]
+        nms_scores = jax.nn.sigmoid(scores_cat[sel])
         return nms_boxes, nms_ids, nms_scores, valid
 
     # ------------------------------------------------------------------ codecs

@@ -1,0 +1,5 @@
+from tmv_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    shard_batch,
+    replicate,
+)
