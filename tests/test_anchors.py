@@ -107,8 +107,10 @@ class TestConvertOutputsOne:
             np.float32))
         cls = jnp.asarray(np.array([5, 12], np.int32))
         boxes_t, classes_t, masks = anchors.generate_targets(gt, cls, 81)
-        # fabricate logits from one-hot targets (scale 10 → confident)
-        outputs_boxes = tuple(b[None] for b in boxes_t)
+        # decode regressions first (reference: convert_outputs_boxes before
+        # convert_outputs_one, efficientdet_net_train.py:153-157)
+        outputs_boxes = anchors.convert_outputs_boxes(
+            tuple(b[None] for b in boxes_t))
         outputs_classes = tuple((c * 10.0 - 5.0)[None] for c in classes_t)
         b, ids, scores, valid = anchors.convert_outputs_one(
             0, outputs_boxes, outputs_classes)
