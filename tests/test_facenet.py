@@ -11,9 +11,12 @@ from tmv_tpu.ops.losses import euclidean_distance_sq
 class TestSelectTriplets:
     def test_semantics(self, rng):
         # 3 people × 3 images in 4-D space; persons clustered
+        # overlapping clusters so semi-hard/hard negatives exist (with far
+        # clusters the mining condition rejects everything — as in the
+        # reference)
         P, I, D = 3, 3, 4
-        centers = rng.normal(0, 5, size=(P, 1, D))
-        emb = (centers + rng.normal(0, 0.1, size=(P, I, D))).astype(np.float32)
+        centers = rng.normal(0, 0.5, size=(P, 1, D))
+        emb = (centers + rng.normal(0, 0.5, size=(P, I, D))).astype(np.float32)
         valid = np.ones((P, I), bool)
         triplets, tvalid = select_triplets(
             jnp.asarray(emb), jnp.asarray(valid), alpha=0.2,

@@ -21,7 +21,8 @@ def distance(e1: np.ndarray, e2: np.ndarray, distance_metric: int = 0):
     if distance_metric == 1:
         dot = np.sum(e1 * e2, axis=1)
         norm = np.linalg.norm(e1, axis=1) * np.linalg.norm(e2, axis=1)
-        return np.arccos(dot / norm) / math.pi
+        # clip: float error can push |cos| past 1 (reference would NaN)
+        return np.arccos(np.clip(dot / norm, -1.0, 1.0)) / math.pi
     raise ValueError(f"Undefined distance metric {distance_metric}")
 
 
