@@ -77,8 +77,12 @@ class TestReferenceParity:
         assert got == pytest.approx(want, abs=1e-12)
 
     def test_random_data_parity(self, ref_map, rng):
-        for _ in range(5):
-            data = make_data(rng)
+        # single-image comparisons: the reference's multi-image path crashes
+        # on ragged per-image prediction counts (`np.array(tp)` at
+        # utils/mAP.py:60 needs equal shapes) — only Get_mAP_one is used
+        # live, so parity is asserted per image.
+        for _ in range(10):
+            data = make_data(rng, n_images=1)
             for c in range(4):
                 want = ref_map.Get_AP(data, c, thresh=0.5)
                 got = get_ap(data, c, thresh=0.5)

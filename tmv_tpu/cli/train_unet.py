@@ -1,0 +1,89 @@
+"""UNet keypoint-heatmap training CLI.
+
+Parity surface: `unet/train.py:20-115` — BCE loss, global-norm clip 10,
+checkpoint/resume, periodic eval that dumps input/target/pred images.
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import optax
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--labelPath", required=True,
+                   help="dir with labelme *.json + images")
+    p.add_argument("--batchSize", type=int, default=4)
+    p.add_argument("--inputSize", type=int, default=128)
+    p.add_argument("--pointsNum", type=int, default=4)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--modelPath", default="./data/unet_weights")
+    p.add_argument("--dumpEvery", type=int, default=500)
+    return p.parse_args()
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tmv_tpu.core.checkpoint import CheckpointManager
+    from tmv_tpu.core.metrics import MetricsLogger, StepTimer
+    from tmv_tpu.core.train_state import TrainState, make_train_step
+    from tmv_tpu.data.unet_dataset import get_dataset
+    from tmv_tpu.models.unet import UNetLogits, make_unet_loss_fn
+    from tmv_tpu.utils import image_helper
+
+    args = parse_args()
+    size = (args.inputSize, args.inputSize)
+    batches, gen = get_dataset(
+        args.labelPath, args.batchSize, args.pointsNum, size, size)
+    print(f"{gen.labels_num} labels")
+
+    model = UNetLogits(output_filters=args.pointsNum)
+    x0 = jnp.zeros((1, size[1], size[0], 3))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    tx = optax.adam(args.lr)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    mgr = CheckpointManager(args.modelPath)
+    state = mgr.restore(state)
+
+    loss_fn = make_unet_loss_fn(model)
+    step_fn = jax.jit(make_train_step(loss_fn, tx, clip_global_norm=10.0))
+    logger = MetricsLogger(os.path.join(args.modelPath, "metrics.jsonl"),
+                           print_every=50)
+    timer = StepTimer(batch_size=args.batchSize)
+
+    for i in range(int(state.step), args.steps):
+        batch = next(batches)
+        state, metrics = step_fn(state, batch, jax.random.key(i))
+        metrics.update(timer.tick())
+        logger.log(i, metrics)
+        if (i + 1) % args.dumpEvery == 0:
+            mgr.save(int(state.step), state)
+            # dump input/target/pred like the reference test_step
+            # (unet/train.py:63-115)
+            pred = jax.nn.sigmoid(model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"][:1], train=False))
+            out_dir = os.path.join(args.modelPath, "dumps")
+            os.makedirs(out_dir, exist_ok=True)
+            image_helper.image_to_file(
+                os.path.join(out_dir, f"in_{i}.jpg"),
+                np.asarray(batch["image"][0] * 255))
+            for c in range(args.pointsNum):
+                image_helper.image_to_file(
+                    os.path.join(out_dir, f"target_{i}_{c}.jpg"),
+                    np.asarray(batch["target"][0, ..., c] * 255)[..., None]
+                    .repeat(3, -1))
+                image_helper.image_to_file(
+                    os.path.join(out_dir, f"pred_{i}_{c}.jpg"),
+                    np.asarray(pred[0, ..., c] * 255)[..., None].repeat(3, -1))
+    mgr.save(int(state.step), state, force=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""YOLO v3/v4 training CLI.
+
+Parity surface: `yolo_v3/train.py:34-105` / `yolo_v4/train.py:34-105` —
+argparse flags, train/val DataGenerators, Adam 1e-4, optional two-phase
+warm start (freeze all but the output convs for 1000 steps), checkpoint
+resume with the epoch derived from the optimizer step, per-epoch val mAP.
+
+Usage:
+    python -m tmv_tpu.cli.train_yolo --version v4 \
+        --trainData ./data/train_labels.txt --trainImagePath ./imgs \
+        --valData ./data/val_labels.txt --valImagePath ./imgs \
+        --classesFile ./data/classes.txt --anchorsFile ./data/anchors.txt
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import optax
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--trainData", required=True)
+    p.add_argument("--trainImagePath", required=True)
+    p.add_argument("--valData", default=None)
+    p.add_argument("--valImagePath", default=None)
+    p.add_argument("--classesFile", required=True)
+    p.add_argument("--anchorsFile", required=True)
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--imageSize", type=int, default=416)
+    p.add_argument("--stepsPerEpoch", type=int, default=5000)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--modelPath", default="./data/yolo_weights")
+    p.add_argument("--darknetWeights", default=None,
+                   help="optional .weights warm start (convert.py parity)")
+    p.add_argument("--warmupSteps", type=int, default=1000)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tmv_tpu.core.checkpoint import CheckpointManager
+    from tmv_tpu.core.metrics import MetricsLogger, StepTimer
+    from tmv_tpu.core.train_state import TrainState, make_train_step
+    from tmv_tpu.data.loaders import load_anchors
+    from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
+    from tmv_tpu.models.detector_harness import (
+        eval_map_step, freeze_mask, make_yolo_loss_fn, make_yolo_predict,
+        masked_optimizer,
+    )
+    from tmv_tpu.models.yolo_v3 import YoloV3
+    from tmv_tpu.models.yolo_v4 import YoloV4
+
+    args = parse_args()
+    anchors = load_anchors(args.anchorsFile)
+    image_wh = (args.imageSize, args.imageSize)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    pipeline = YoloDataPipeline(
+        args.trainImagePath, args.trainData, args.classesFile,
+        args.batchSize, anchors, image_wh=image_wh,
+    )
+    model_cls = YoloV4 if args.version == "v4" else YoloV3
+    iou_type = "ciou" if args.version == "v4" else "iou"
+    model = model_cls(classes_num=pipeline.classes_num, dtype=dtype)
+
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.darknetWeights:
+        from tmv_tpu.convert.darknet import load_darknet_weights
+
+        params, batch_stats = load_darknet_weights(
+            params, batch_stats, args.darknetWeights)
+        print(f"loaded darknet weights: {args.darknetWeights}")
+
+    tx = optax.adam(args.lr)
+    state = TrainState.create(params, batch_stats, tx)
+    mgr = CheckpointManager(args.modelPath)
+    state = mgr.restore(state)
+    start_step = int(state.step)
+    if start_step:
+        print(f"resumed from step {start_step}")
+
+    loss_fn = make_yolo_loss_fn(model, image_wh, anchors, iou_type=iou_type)
+    step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
+
+    # two-phase warm start: train only output convs first
+    # (FreeLayer parity, yolo_v3/train.py:79-87)
+    if args.darknetWeights and start_step == 0 and args.warmupSteps:
+        head_prefixes = ["DarknetConv_0", "DarknetConv_1", "DarknetConv_2"]
+        mask = freeze_mask(state.params, head_prefixes)
+        warm_tx = masked_optimizer(optax.adam(args.lr), mask)
+        warm_state = TrainState.create(state.params, state.batch_stats, warm_tx)
+        warm_step = jax.jit(
+            make_train_step(loss_fn, warm_tx, shadow_loss=True))
+        it = iter(pipeline)
+        for i in range(args.warmupSteps):
+            warm_state, metrics = warm_step(
+                warm_state, next(it), jax.random.key(i))
+        state = state.replace(params=warm_state.params,
+                              batch_stats=warm_state.batch_stats)
+        print("warm start done")
+
+    logger = MetricsLogger(os.path.join(args.modelPath, "metrics.jsonl"),
+                           print_every=50)
+    timer = StepTimer(batch_size=args.batchSize)
+    it = iter(pipeline)
+    predict_fn = make_yolo_predict(
+        model, image_wh, anchors, pipeline.classes_num, iou_type=iou_type)
+
+    total_steps = args.stepsPerEpoch * args.epochs
+    for step_i in range(start_step, total_steps):
+        state, metrics = step_fn(state, next(it), jax.random.key(step_i))
+        metrics.update(timer.tick())
+        logger.log(step_i, metrics)
+        if (step_i + 1) % args.stepsPerEpoch == 0:
+            mgr.save(int(state.step), state)
+            if args.valData:
+                val = YoloDataPipeline(
+                    args.valImagePath, args.valData, args.classesFile, 1,
+                    anchors, image_wh=image_wh, image_random=False,
+                    label_mean=False,
+                )
+                maps = []
+                vit = iter(val)
+                for _ in range(min(50, val.labels_num)):
+                    maps.append(eval_map_step(
+                        predict_fn,
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        next(vit), pipeline.classes_num))
+                print(f"epoch {(step_i+1)//args.stepsPerEpoch} "
+                      f"val_mAP={np.mean(maps):.4f}")
+    mgr.save(int(state.step), state, force=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""EfficientDet training pipeline: host aug → device anchor targets.
+
+Parity surface: `AIServer/ai_api/ai_models/datasets/coco_dataset_one.py`:
+- same pipe-delimited label files, but class id 0 is reserved for
+  background (ids are name-index + 1, `coco_dataset_one.py:29-37`) and boxes
+  flow in yxyx order;
+- host-side augmentation (`get_random_data:73-156`): random blur (ksize
+  0–4), affine offset ±45 px / scale 0.5–2.0 (angles disabled, as in the
+  reference), salt-and-pepper noise, proportional letterbox resize, clip,
+  drop boxes smaller than 2 px;
+- targets via ``Anchors.generate_targets`` inside the mapped stage
+  (`GetDataSet:213-255`) — here one jitted vmapped device call per batch.
+"""
+
+import random
+from typing import Dict, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmv_tpu.data.loaders import load_classes, load_labels
+from tmv_tpu.data.samplers import ClassBalancedSampler
+from tmv_tpu.data.yolo_targets import pad_labels
+from tmv_tpu.ops.anchors import Anchors
+from tmv_tpu.utils import image_helper
+
+
+class EfficientDetPipeline:
+    def __init__(self, image_path: str, label_path: str, classes_path: str,
+                 batch_size: int, anchors: Anchors, num_classes: int,
+                 image_size: int = 512, max_boxes: int = 100,
+                 augment: bool = True, label_mean: bool = True,
+                 seed: int = 0, with_raw_boxes: bool = False):
+        self.classes, names_num = load_classes(classes_path)
+        self.labels, self.labels_num = load_labels(
+            label_path, image_path, self.classes)
+        self.batch_size = batch_size
+        self.anchors = anchors
+        self.num_classes = num_classes
+        self.image_size = image_size
+        self.max_boxes = max_boxes
+        self.augment = augment
+        self.with_raw_boxes = with_raw_boxes
+        self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
+        self._rng = random.Random(seed)
+        self._np_rng = np.random.default_rng(seed)
+
+        def targets_fn(boxes, classes, valid):
+            return jax.vmap(
+                lambda b, c, v: anchors.generate_targets(
+                    b, c, num_classes, valid=v)
+            )(boxes, classes, valid)
+
+        self._targets_fn = jax.jit(targets_fn)
+
+    def _get_random_data(self, label: Dict):
+        img = image_helper.bytes_to_image(
+            open(label["image_path"], "rb").read())
+        boxes = np.asarray(label["boxes"], np.float64).reshape(-1, 4)  # xyxy
+        if self.augment:
+            ksize = self._rng.randint(0, 4)
+            if ksize > 0:
+                img = image_helper.blur(img, ksize)
+            # affine scale + offset (angles disabled in the reference)
+            sx = self._rng.random() * 1.5 + 0.5
+            sy = self._rng.random() * 1.5 + 0.5
+            dx = self._rng.random() * 90 - 45
+            dy = self._rng.random() * 90 - 45
+            h, w = img.shape[:2]
+            from PIL import Image
+
+            # inverse affine for PIL: out(x,y) = in(a x + b y + c, …)
+            coeffs = (1 / sx, 0, -(dx + w / 2 * (1 - sx)) / sx,
+                      0, 1 / sy, -(dy + h / 2 * (1 - sy)) / sy)
+            img = np.asarray(
+                Image.fromarray(img).transform(
+                    (w, h), Image.AFFINE, coeffs, Image.BILINEAR))
+            pts = boxes.reshape(-1, 2)
+            pts = pts * [sx, sy] + [
+                dx + w / 2 * (1 - sx), dy + h / 2 * (1 - sy)]
+            boxes = pts.reshape(-1, 4)
+            img = image_helper.random_noise(img, self._np_rng)
+        img, pts, _ = image_helper.proportional_resize(
+            img, (self.image_size, self.image_size),
+            points=boxes.reshape(-1, 2))
+        boxes = pts.reshape(-1, 4)
+        boxes[:, 0] = np.clip(boxes[:, 0], 0, self.image_size)
+        boxes[:, 1] = np.clip(boxes[:, 1], 0, self.image_size)
+        boxes[:, 2] = np.clip(boxes[:, 2], 0, self.image_size)
+        boxes[:, 3] = np.clip(boxes[:, 3], 0, self.image_size)
+        mask = ((boxes[:, 2] - boxes[:, 0] >= 2)
+                & (boxes[:, 3] - boxes[:, 1] >= 2))
+        boxes = boxes[mask][:, [1, 0, 3, 2]]  # xyxy → yxyx
+        # background is class 0: shift ids (+1)
+        classes = np.asarray(label["classes"], np.int32)[mask] + 1
+        return img.astype(np.float32) / 255.0, boxes, classes
+
+    def __iter__(self) -> Iterator[Dict]:
+        it = iter(self.sampler)
+        while True:
+            imgs, boxes_l, classes_l, valid_l, raw = [], [], [], [], []
+            for _ in range(self.batch_size):
+                img, boxes, classes = self._get_random_data(next(it))
+                b, c, v = pad_labels(boxes, classes.tolist(), self.max_boxes)
+                imgs.append(img)
+                boxes_l.append(b)
+                classes_l.append(c)
+                valid_l.append(v)
+                if self.with_raw_boxes:
+                    raw.append((boxes, classes))
+            boxes_t, classes_t, masks_t = self._targets_fn(
+                jnp.asarray(np.stack(boxes_l)),
+                jnp.asarray(np.stack(classes_l)),
+                jnp.asarray(np.stack(valid_l)),
+            )
+            batch = {
+                "image": jnp.asarray(np.stack(imgs)),
+                "boxes": boxes_t,
+                "classes": classes_t,
+                "masks": masks_t,
+            }
+            if self.with_raw_boxes:
+                batch["raw"] = raw
+            yield batch

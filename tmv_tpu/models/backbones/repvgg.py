@@ -29,8 +29,14 @@ class ConvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # symmetric PyTorch-style padding (k//2): required so the fused 1×1
+        # kernel (embedded at the 3×3 center) samples the same positions as
+        # the standalone 1×1 branch under stride 2 — TF 'SAME' pads
+        # asymmetrically there and breaks reparam exactness at borders.
+        pad = self.kernel_size // 2
         x = nn.Conv(self.filters, (self.kernel_size, self.kernel_size),
-                    strides=(self.strides, self.strides), padding="SAME",
+                    strides=(self.strides, self.strides),
+                    padding=((pad, pad), (pad, pad)),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
@@ -48,7 +54,8 @@ class RepVGGBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.deploy:
             y = nn.Conv(self.filters, (3, 3),
-                        strides=(self.strides, self.strides), padding="SAME",
+                        strides=(self.strides, self.strides),
+                        padding=((1, 1), (1, 1)),
                         feature_group_count=self.groups, use_bias=True,
                         dtype=self.dtype, name="rbr_reparam")(x)
             return nn.relu(y)
