@@ -1,0 +1,71 @@
+"""Data-parallel training over the virtual 8-device CPU mesh.
+
+The reference's only distributed behavior is MirroredStrategy gradient
+averaging (`facenet/facenet_model.py:297-299`); here jit-over-mesh must
+produce the same result as single-device training on the concatenated batch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tmv_tpu.core.train_state import TrainState, make_train_step
+from tmv_tpu.models.unet import UNetLogits, make_unet_loss_fn
+from tmv_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = UNetLogits(depth=1, filters_base=2, output_filters=1)
+    x = jnp.zeros((8, 16, 16, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    tx = optax.sgd(0.1)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    loss_fn = make_unet_loss_fn(model)
+    step = make_train_step(loss_fn, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(size=(8, 16, 16, 3)).astype(np.float32)),
+        "target": jnp.asarray((rng.uniform(size=(8, 16, 16, 1)) > 0.8)
+                              .astype(np.float32)),
+    }
+    return model, state, step, batch
+
+
+class TestDataParallel:
+    def test_mesh_creation(self):
+        mesh = create_mesh(8, ("data",))
+        assert mesh.devices.shape == (8,)
+
+    def test_dp_matches_single_device(self, setup):
+        model, state, step, batch = setup
+        # single device
+        s1, m1 = jax.jit(step)(state, batch, jax.random.key(0))
+
+        mesh = create_mesh(8, ("data",))
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        sharded_batch = shard_batch(batch, mesh)
+        sharded_state = replicate(state, mesh)
+        dp_step = jax.jit(
+            step,
+            in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+        )
+        rng = jax.device_put(jax.random.key(0), repl)
+        s2, m2 = dp_step(sharded_state, sharded_batch, rng)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_batch_actually_sharded(self, setup):
+        model, state, step, batch = setup
+        mesh = create_mesh(8, ("data",))
+        sharded = shard_batch(batch, mesh)
+        assert len(sharded["image"].sharding.device_set) == 8

@@ -1,0 +1,72 @@
+"""Serving CLI: warm YOLOv4 predictor behind the reference HTTP contract.
+
+Parity surface: the Django entry (`AIServer/manage.py` + `uwsgi.ini`) and
+the model-at-import-time warm start of `views/object_detection.py:17-37`.
+
+Usage:
+    python -m tmv_tpu.cli.serve --modelPath ./data/yolo_weights \
+        --classesFile ./data/classes.txt --anchorsFile ./data/anchors.txt
+"""
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modelPath", default="./data/yolo_weights")
+    p.add_argument("--classesFile", required=True)
+    p.add_argument("--anchorsFile", required=True)
+    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--imageSize", type=int, default=416)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmv_tpu.core.checkpoint import CheckpointManager
+    from tmv_tpu.core.train_state import TrainState
+    from tmv_tpu.data.loaders import load_anchors, load_classes
+    from tmv_tpu.models.detector_harness import make_yolo_predict
+    from tmv_tpu.models.yolo_v3 import YoloV3
+    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.serving.app import DetectionService, run_server
+
+    args = parse_args()
+    anchors = load_anchors(args.anchorsFile)
+    classes_name, classes_num = load_classes(args.classesFile)
+    image_wh = (args.imageSize, args.imageSize)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model_cls = YoloV4 if args.version == "v4" else YoloV3
+    model = model_cls(classes_num=classes_num, dtype=dtype)
+
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              optax.sgd(1e-3))
+    mgr = CheckpointManager(args.modelPath)
+    state = mgr.restore(state)
+    print(f"model at step {int(state.step)}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    iou_type = "diou" if args.version == "v4" else "iou"
+    predict_fn = make_yolo_predict(
+        model, image_wh, anchors, classes_num,
+        confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
+        iou_type=iou_type,
+    )
+    # warm the jit cache before accepting traffic (import-time load parity)
+    predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
+    print("predictor warm")
+
+    service = DetectionService(predict_fn, variables, classes_name, image_wh)
+    run_server(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
