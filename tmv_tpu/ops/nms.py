@@ -162,6 +162,49 @@ def nms(
     )
 
 
+def soft_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: Optional[jax.Array] = None,
+    max_output_size: int = 500,
+    sigma: float = 0.5,
+    score_threshold: float = 0.001,
+    coord: str = "yxyx",
+):
+    """Gaussian soft-NMS: decay instead of suppress.
+
+    Capability cover for the reference's vendored ``soft_nms``
+    (`utils/nms_np.py`, unused): greedy passes where each selected box
+    decays overlapping scores by ``exp(-iou²/sigma)``; boxes falling below
+    ``score_threshold`` drop out.  Static shapes: ``max_output_size``
+    sequential selections over the padded candidate set.
+
+    Returns (indices, updated_scores, valid_out).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    iou = _iou_fn(coord, "iou")
+    live_scores = jnp.where(valid, scores, _NEG_INF)
+
+    def body(carry, _):
+        live, = carry
+        top = jnp.argmax(live)
+        top_score = live[top]
+        ok = top_score >= score_threshold
+        row = iou(boxes[top][None, :], boxes)
+        decay = jnp.exp(-(row**2) / sigma)
+        new_live = jnp.where(ok, live * decay, live)
+        new_live = new_live.at[top].set(_NEG_INF)
+        out_idx = jnp.where(ok, top, 0).astype(jnp.int32)
+        out_score = jnp.where(ok, top_score, 0.0)
+        return (new_live,), (out_idx, out_score, ok)
+
+    (_,), (idxs, out_scores, valids) = jax.lax.scan(
+        body, (live_scores,), None, length=max_output_size)
+    return idxs, out_scores, valids
+
+
 def nms_by_classes(
     boxes: jax.Array,
     scores: jax.Array,
