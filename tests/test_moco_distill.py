@@ -1,0 +1,106 @@
+"""MoCo + distillation end-to-end smoke tests (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tmv_tpu.core.train_state import TrainState
+from tmv_tpu.models.moco import (
+    MocoState, ResNetYoloV3, init_moco_state, make_moco_train_step,
+    push_queue,
+)
+
+ANCHORS = np.array(
+    [[[116, 90], [156, 198], [373, 326]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[10, 13], [16, 30], [33, 23]]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def moco_setup():
+    model = ResNetYoloV3(out_filters=6)
+    size = 64
+    x = jnp.zeros((2, size, size, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    heads = model.apply(variables, x, train=False)
+    feat_dim = sum(int(np.prod(h.shape[1:])) for h in heads)
+    extra = init_moco_state(variables, queue_size=16, feature_dim=feat_dim,
+                            rng=jax.random.key(1))
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx, extra=extra)
+    return model, state, tx, size
+
+
+class TestPushQueue:
+    def test_ring_buffer_wraps(self):
+        queue = jnp.zeros((8, 4))
+        items = jnp.ones((3, 4))
+        q1, p1 = push_queue(queue, jnp.asarray(6), items * 2)
+        q1 = np.asarray(q1)
+        assert (q1[6] == 2).all() and (q1[7] == 2).all() and (q1[0] == 2).all()
+        assert int(p1) == 1
+
+
+class TestMocoTrainStep:
+    def test_one_step(self, moco_setup):
+        model, state, tx, size = moco_setup
+        rng = np.random.default_rng(0)
+        batch = {
+            "query": jnp.asarray(
+                rng.uniform(size=(2, size, size, 3)).astype(np.float32)),
+            "key": jnp.asarray(
+                rng.uniform(size=(2, size, size, 3)).astype(np.float32)),
+        }
+        step = jax.jit(make_moco_train_step(model, tx))
+        new_state, metrics = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.extra.queue_ptr) == 2
+        # queue rows written with l2-normalized key features
+        row = np.asarray(new_state.extra.queue[0])
+        assert np.linalg.norm(row) == pytest.approx(1.0, rel=1e-4)
+        # params changed, key tower moved toward query params
+        p_old = jax.tree_util.tree_leaves(state.params)[0]
+        p_new = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(p_old), np.asarray(p_new))
+
+
+class TestDistillation:
+    def test_pseudo_labels_feed_targets(self, moco_setup):
+        from tmv_tpu.data.yolo_targets import make_yolo_targets
+        from tmv_tpu.models.distill import make_pseudo_label_fn
+
+        model, state, tx, size = moco_setup
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        # classes_num must match out_filters = 3*(5+C) → C = -3? use model
+        # with out_filters 6 → treat as anchors=3, C=-3 invalid; rebuild
+        model2 = ResNetYoloV3(out_filters=3 * (5 + 2))
+        v2 = model2.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                         train=False)
+        labeler = make_pseudo_label_fn(
+            model2, ANCHORS, (size, size), classes_num=2, max_boxes=10)
+        imgs = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(2, size, size, 3)).astype(np.float32))
+        boxes, ids, valid = labeler(v2, imgs, jax.random.key(0))
+        assert boxes.shape == (2, 10, 4)
+        assert valid.shape == (2, 10)
+        # pixel-space boxes; untrained exp(wh) can overflow the frame —
+        # just require finiteness (the pipeline clips downstream)
+        assert np.isfinite(np.asarray(boxes)).all()
+        targets = jax.vmap(
+            lambda b, c, v: make_yolo_targets(b, c, v, ANCHORS,
+                                              (size, size), 2)
+        )(boxes, ids.astype(jnp.int32), valid)
+        assert targets[0].shape[1:] == (size // 32, size // 32, 3, 7)
+
+    def test_promote_teacher_copies(self, moco_setup):
+        from tmv_tpu.models.distill import promote_teacher
+
+        model, state, tx, size = moco_setup
+        out = promote_teacher(state, None)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(out["params"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
