@@ -162,10 +162,29 @@ class YoloDataPipeline:
         self._batch_fn = jax.jit(batch_fn)
 
     def _stage_one(self, label: Dict):
-        """Host: decode + letterbox-resize to the staging resolution."""
-        img = load_image(label["image_path"])
-        src_h, src_w = img.shape[0], img.shape[1]
+        """Host: decode + resize to the staging resolution.
+
+        Uses the native C++ decoder (`native/preproc.cc`) when built —
+        fused JPEG decode + resize without the Python imaging stack."""
         w, h = self.image_wh
+        path = label["image_path"]
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from tmv_tpu.native import available as native_available
+
+            if native_available():
+                from tmv_tpu.native import decode_letterbox
+
+                with open(path, "rb") as f:
+                    img01, meta = decode_letterbox(f.read(), (h, w))
+                pad_y, pad_x, src_h, src_w = (int(x) for x in meta)
+                ratio = max(src_w / w, src_h / h)
+                boxes = np.asarray(label["boxes"], np.float32).reshape(-1, 4)
+                boxes = boxes / ratio + np.asarray(
+                    [pad_x, pad_y, pad_x, pad_y], np.float32)
+                b, c, v = pad_labels(boxes, label["classes"], self.max_boxes)
+                return (img01 * 255.0).astype(np.uint8), b, c, v
+        img = load_image(path)
+        src_h, src_w = img.shape[0], img.shape[1]
         # PIL resize to exactly (h, w); boxes scale accordingly
         from PIL import Image
 
