@@ -1,0 +1,63 @@
+"""EfficientDet eval harness: loss + per-image mAP (test_step parity).
+
+Parity surface: `efficientnet/efficientdet_net_train.py:135-169` —
+val loss (same l2 + 50·box + focal stack) and per-image mAP via
+decode → background filter → DIoU-NMS → the quirky ``Get_mAP_one``,
+averaged over the batch.  Predictions/GT are compared in the yxyx pixel
+space of the letterboxed image, classes shifted so 0 is background.
+"""
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+from tmv_tpu.ops.map_eval import get_map_one
+
+
+def make_efficientdet_eval(model, anchors, loss_fn):
+    """Returns ``eval_step(variables, batch) -> {'loss', 'mAP'}``.
+
+    ``batch`` must carry ``raw``: list of (boxes_yxyx, classes) per image
+    (``EfficientDetPipeline(with_raw_boxes=True)``).
+    """
+    cfg = model.config
+
+    @jax.jit
+    def forward_decode(variables, images):
+        boxes_out, classes_out = model.apply(variables, images, train=False)
+        decoded = anchors.convert_outputs_boxes(
+            tuple(b.astype(jax.numpy.float32) for b in boxes_out))
+        return decoded, tuple(
+            c.astype(jax.numpy.float32) for c in classes_out)
+
+    @jax.jit
+    def nms_one(decoded_one, classes_one):
+        # single-image tuples (1, h, w, A, ...) → convert_outputs_one at 0
+        return anchors.convert_outputs_one(0, decoded_one, classes_one)
+
+    def eval_step(variables, batch: Dict):
+        images = batch["image"]
+        decoded, classes_out = forward_decode(variables, images)
+        batch_size = images.shape[0]
+        maps = []
+        for b in range(batch_size):
+            decoded_one = tuple(d[b : b + 1] for d in decoded)
+            classes_one = tuple(c[b : b + 1] for c in classes_out)
+            nms_boxes, nms_ids, nms_scores, valid = nms_one(
+                decoded_one, classes_one)
+            v = np.asarray(valid)
+            pred = np.concatenate(
+                [np.asarray(nms_boxes)[v],
+                 np.asarray(nms_ids)[v][:, None].astype(np.float64),
+                 np.asarray(nms_scores)[v][:, None]], axis=-1)
+            raw_boxes, raw_classes = batch["raw"][b]
+            gt = np.concatenate(
+                [np.asarray(raw_boxes, np.float64).reshape(-1, 4),
+                 np.asarray(raw_classes, np.float64).reshape(-1, 1)],
+                axis=-1)
+            maps.append(get_map_one(gt.tolist(), pred.tolist(),
+                                    cfg.num_classes, 0.5))
+        return {"mAP": float(np.mean(maps))}
+
+    return eval_step
