@@ -1,0 +1,72 @@
+"""Single-image detection CLI: load checkpoint, predict, draw, save.
+
+Parity surface: `yolo_v3/test.py` / `yolo_v4/test.py:28-112` — letterbox,
+predict, un-letterbox, draw boxes with class/score, write the result image.
+"""
+
+import argparse
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--image", required=True)
+    p.add_argument("--out", default="./result.jpg")
+    p.add_argument("--modelPath", required=True)
+    p.add_argument("--classesFile", required=True)
+    p.add_argument("--anchorsFile", required=True)
+    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--imageSize", type=int, default=416)
+    p.add_argument("--confidenceThresh", type=float, default=0.5)
+    p.add_argument("--scoresThresh", type=float, default=0.2)
+    p.add_argument("--iouThresh", type=float, default=0.5)
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmv_tpu.core.checkpoint import CheckpointManager
+    from tmv_tpu.core.train_state import TrainState
+    from tmv_tpu.data.loaders import load_anchors, load_classes
+    from tmv_tpu.models.detector_harness import make_yolo_predict
+    from tmv_tpu.models.yolo_v3 import YoloV3
+    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.serving.app import DetectionService
+    from tmv_tpu.utils import image_helper
+
+    args = parse_args()
+    anchors = load_anchors(args.anchorsFile)
+    classes_name, classes_num = load_classes(args.classesFile)
+    image_wh = (args.imageSize, args.imageSize)
+    model_cls = YoloV4 if args.version == "v4" else YoloV3
+    model = model_cls(classes_num=classes_num)
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              optax.sgd(1e-3))
+    state = CheckpointManager(args.modelPath).restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    predict_fn = make_yolo_predict(
+        model, image_wh, anchors, classes_num,
+        confidence_thresh=args.confidenceThresh,
+        scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
+        iou_type="diou" if args.version == "v4" else "iou",
+    )
+    service = DetectionService(predict_fn, variables, classes_name, image_wh)
+    img = image_helper.bytes_to_image(open(args.image, "rb").read())
+    boxes, ids, scores, _ = service.predict_image(img)
+    labels = [classes_name[i] for i in ids]
+    for b, l, s in zip(boxes, labels, scores):
+        print(f"{l} {s:.3f} {b.tolist()}")
+    result = image_helper.draw_boxes(img, boxes, labels, scores)
+    image_helper.image_to_file(args.out, result)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

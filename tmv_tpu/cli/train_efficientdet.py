@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--modelPath", default="./data/efficientdet_weights")
     p.add_argument("--maxBoxes", type=int, default=100)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all local devices")
     return p.parse_args()
 
 
@@ -75,8 +77,18 @@ def main():
     state = mgr.restore(state)
 
     loss_fn = make_efficientdet_loss_fn(model)
-    step_fn = jax.jit(make_train_step(
-        loss_fn, tx, clip_global_norm=10.0, ema_decay=0.9998))
+    raw_step = make_train_step(
+        loss_fn, tx, clip_global_norm=10.0, ema_decay=0.9998)
+    dp = None
+    if args.dp:
+        from tmv_tpu.parallel.train import DataParallel
+
+        dp = DataParallel()
+        print(f"data-parallel over {dp.num_devices} devices")
+        step_fn = dp.wrap_step(raw_step)
+        state = dp.put_state(state)
+    else:
+        step_fn = jax.jit(raw_step)
     logger = MetricsLogger(os.path.join(args.modelPath, "metrics.jsonl"),
                            print_every=20)
     timer = StepTimer(batch_size=args.batchSize)
@@ -84,7 +96,10 @@ def main():
     it = iter(pipeline)
     total = args.epochs * args.stepsPerEpoch
     for i in range(int(state.step), total):
-        state, metrics = step_fn(state, next(it), jax.random.key(i))
+        batch = next(it)
+        if dp is not None:
+            batch = dp.put_batch(batch)
+        state, metrics = step_fn(state, batch, jax.random.key(i))
         metrics.update(timer.tick())
         logger.log(i, metrics)
         if (i + 1) % args.stepsPerEpoch == 0:
