@@ -52,6 +52,71 @@ class TrainState:
         return state
 
 
+def make_line_search_train_step(
+    loss_fn: Callable,
+    init_lr: float = 0.05,
+    shrink: float = 0.3,
+    min_lr: float = 1e-6,
+    clip_global_norm: float = 10.0,
+):
+    """Line-search ("dynamic learning rate") train step.
+
+    Parity surface: the experimental ``train_step_fast``
+    (`efficientdet_net_train.py:60-110`, off by default in the reference):
+    starting from lr=0.05, apply the clipped gradient, re-evaluate the
+    loss, and shrink the lr by 0.3 until the loss improves (or lr hits
+    ``min_lr``); the last tried weights are kept.  Implemented as a pure
+    ``lax.while_loop`` over the parameter pytree with plain SGD updates
+    (the reference mutated its stateful optimizer's lr in place — momentum
+    side-effects there were incidental, not intent).
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        def raw_loss(params):
+            loss, (new_stats, aux) = loss_fn(params, state.batch_stats,
+                                             batch, rng)
+            return loss, (new_stats, aux)
+
+        (loss0, (new_stats, aux)), grads = jax.value_and_grad(
+            raw_loss, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, clip_global_norm / (gnorm + 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+        def eval_loss(params):
+            loss, _ = loss_fn(params, state.batch_stats, batch, rng)
+            return loss
+
+        def try_lr(lr):
+            cand = jax.tree.map(lambda p, g: p - lr * g, state.params, grads)
+            return cand, eval_loss(cand)
+
+        first_cand, first_loss = try_lr(jnp.asarray(init_lr))
+
+        def cond(carry):
+            lr, cand, new_loss = carry
+            return jnp.logical_and(loss0 <= new_loss, lr > min_lr)
+
+        def body(carry):
+            lr, cand, new_loss = carry
+            next_lr = lr * shrink
+            next_cand, next_loss = try_lr(next_lr)
+            return (next_lr, next_cand, next_loss)
+
+        _, final_params, final_loss = jax.lax.while_loop(
+            cond, body, (jnp.asarray(init_lr), first_cand, first_loss))
+
+        new_state = state.replace(
+            params=final_params,
+            batch_stats=new_stats,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss0, "new_loss": final_loss,
+                           "gnorm": gnorm, **aux}
+
+    return train_step
+
+
 def make_train_step(
     loss_fn: Callable,
     tx: optax.GradientTransformation,
