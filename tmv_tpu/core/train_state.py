@@ -35,11 +35,15 @@ class TrainState:
     step: jax.Array
     shadow_loss: jax.Array
     ema_params: Optional[Any] = None
+    ema_batch_stats: Optional[Any] = None
     extra: Optional[Any] = None  # model-specific (MoCo queue, key params, …)
 
     @classmethod
     def create(cls, params, batch_stats, tx: optax.GradientTransformation,
-               ema_decay: Optional[float] = None, extra=None):
+               ema_decay: Optional[float] = None, extra=None,
+               ema_batch_stats: bool = False):
+        """``ema_batch_stats=True`` also shadows BN moments — the FaceNet
+        shadow model EMAs *all* variables (`facenet_model.py:304-312`)."""
         state = cls(
             params=params,
             batch_stats=batch_stats,
@@ -47,6 +51,8 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             shadow_loss=jnp.zeros((), jnp.float32),
             ema_params=jax.tree.map(jnp.array, params) if ema_decay else None,
+            ema_batch_stats=(jax.tree.map(jnp.array, batch_stats)
+                             if ema_decay and ema_batch_stats else None),
             extra=extra,
         )
         return state
@@ -170,11 +176,17 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         new_ema = state.ema_params
+        new_ema_stats = state.ema_batch_stats
         if ema_decay is not None and state.ema_params is not None:
             new_ema = jax.tree.map(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 state.ema_params, new_params,
             )
+            if state.ema_batch_stats is not None:
+                new_ema_stats = jax.tree.map(
+                    lambda e, s: e * ema_decay + s * (1.0 - ema_decay),
+                    state.ema_batch_stats, new_stats,
+                )
 
         new_state = state.replace(
             params=new_params,
@@ -183,6 +195,7 @@ def make_train_step(
             step=state.step + 1,
             shadow_loss=new_shadow,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_stats,
         )
         return new_state, metrics
 
