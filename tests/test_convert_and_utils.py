@@ -35,6 +35,28 @@ class TestDarknetRoundTrip:
                         jax.tree_util.tree_leaves(s2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_yolo_v4_roundtrip(self, rng):
+        from tmv_tpu.convert.darknet import (
+            load_darknet_weights, save_darknet_weights, jax_to_numpy,
+        )
+        from tmv_tpu.models.yolo_v4 import YoloV4
+
+        m = YoloV4(classes_num=2)
+        v = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        params = jax.tree.map(
+            lambda a: rng.normal(size=a.shape).astype(np.float32),
+            jax_to_numpy(v["params"]))
+        stats = jax.tree.map(
+            lambda a: rng.uniform(0.5, 1.5, size=a.shape).astype(np.float32),
+            jax_to_numpy(v["batch_stats"]))
+        buf = io.BytesIO()
+        save_darknet_weights(params, stats, buf)
+        buf.seek(0)
+        p2, s2 = load_darknet_weights(v["params"], v["batch_stats"], buf)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_stream_length_mismatch_raises(self, rng):
         from tmv_tpu.convert.darknet import (
             load_darknet_weights, save_darknet_weights,
