@@ -101,6 +101,25 @@ class TestEfficientDet:
         assert feats[5].shape[1] == 2
         assert feats[5].shape[-1] == 320  # b0 final block filters
 
+    def test_six_level_bifpn_d7x_style(self, rngkey):
+        # max_level 8 (D7x config) → 6 feature levels; the reference's
+        # hard-wired 5-level BiFPN would crash here
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.override({"max_level": 8}, allow_new_keys=False)
+        cfg.image_size = 128
+        cfg.levels_size = [128]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        m = EfficientDetNet(config=cfg)
+        x = jnp.zeros((1, 128, 128, 3))
+        variables = m.init(rngkey, x, train=False)
+        boxes, classes = m.apply(variables, x, train=False)
+        assert len(boxes) == 6
+        assert boxes[5].shape == (1, 1, 1, 9, 4)
+
     def test_class_prior_bias(self, rngkey):
         from tmv_tpu.models.efficientdet import (
             EfficientDetNet, get_efficientdet_config,

@@ -121,10 +121,16 @@ class BiFPNNode(nn.Module):
 
 
 class BiFPN(nn.Module):
-    """One BiFPN cell over (P3..P7): 4 top-down + 4 bottom-up nodes."""
+    """One BiFPN cell: top-down then bottom-up weighted-fusion nodes.
+
+    Generalizes the reference's hard-wired P3–P7 8-node graph
+    (`layers/bifpn.py:77-118`) to any level count — for n=5 the node
+    wiring and parameter order match the reference exactly; n=6 covers the
+    D7x config (max_level 8), which would crash the reference's unpack.
+    """
 
     filters: int
-    levels_size: Sequence[int]  # sizes for levels min..max (5 entries)
+    levels_size: Sequence[int]  # sizes for levels min..max
     weight_method: str = "fastattn"
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
@@ -132,19 +138,24 @@ class BiFPN(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: Sequence, train: bool = False):
-        p3_0, p4_0, p5_0, p6_0, p7_0 = inputs
+        n = len(inputs)
+        assert n == len(self.levels_size) and n >= 3
         ls = self.levels_size
 
         def node(size, n_in):
             return BiFPNNode(self.filters, size, n_in, self.weight_method,
                              self.bn_momentum, self.bn_epsilon, self.dtype)
 
-        p6_1 = node(ls[3], 2)([p6_0, p7_0], train)
-        p5_1 = node(ls[2], 2)([p5_0, p6_1], train)
-        p4_1 = node(ls[1], 2)([p4_0, p5_1], train)
-        p3_2 = node(ls[0], 2)([p3_0, p4_1], train)
-        p4_2 = node(ls[1], 3)([p4_0, p4_1, p3_2], train)
-        p5_2 = node(ls[2], 3)([p5_0, p5_1, p4_2], train)
-        p6_2 = node(ls[3], 3)([p6_0, p6_1, p5_2], train)
-        p7_2 = node(ls[4], 2)([p7_0, p6_2], train)
-        return (p3_2, p4_2, p5_2, p6_2, p7_2)
+        # top-down: td[i] for i = n-2 … 1
+        td = {}
+        prev = inputs[n - 1]
+        for i in range(n - 2, 0, -1):
+            td[i] = node(ls[i], 2)([inputs[i], prev], train)
+            prev = td[i]
+        # bottom-up outputs
+        outs = [node(ls[0], 2)([inputs[0], td[1]], train)]
+        for i in range(1, n - 1):
+            outs.append(
+                node(ls[i], 3)([inputs[i], td[i], outs[-1]], train))
+        outs.append(node(ls[n - 1], 2)([inputs[n - 1], outs[-1]], train))
+        return tuple(outs)

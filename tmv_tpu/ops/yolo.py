@@ -108,13 +108,23 @@ def yolo_loss(
 
         # ---- ignore mask: best IoU of each prediction vs the image's GT boxes
         # (replaces the reference's per-batch while_loop + boolean_mask,
-        # tf_yolo_utils.py:77-97, with one fixed-capacity batched IoU)
+        # tf_yolo_utils.py:77-97, with one fixed-capacity batched IoU).
+        # GT extraction uses cumsum-compaction scatter instead of top_k —
+        # a TPU sort over h·w·A elements costs ~10× the whole backbone.
         obj_flat = y_true_object[..., 0].reshape(batch_size, -1)  # (B, hwA)
         boxes_flat = y_true_boxes.reshape(batch_size, -1, 4)
         k = min(max_true_boxes, obj_flat.shape[1])
-        top_obj, top_idx = jax.lax.top_k(obj_flat, k)  # (B, k)
-        gt_boxes = jnp.take_along_axis(boxes_flat, top_idx[..., None], axis=1)
-        gt_valid = top_obj > 0  # (B, k)
+
+        def compact(obj_row, boxes_row):
+            is_gt = obj_row > 0
+            slots = jnp.where(is_gt, jnp.cumsum(is_gt) - 1, k)
+            gt_b = jnp.zeros((k + 1, 4), boxes_row.dtype).at[slots].set(
+                boxes_row, mode="drop")[:k]
+            gt_v = jnp.zeros((k + 1,), bool).at[slots].set(
+                is_gt, mode="drop")[:k]
+            return gt_b, gt_v
+
+        gt_boxes, gt_valid = jax.vmap(compact)(obj_flat, boxes_flat)
 
         pred_flat = y_pred_boxes.reshape(batch_size, -1, 1, 4)
         iou = iou_xyxy(pred_flat, gt_boxes[:, None, :, :], iou_type)  # (B, hwA, k)
