@@ -160,6 +160,21 @@ def random_color_jitter(img: np.ndarray, rng: np.random.Generator,
     return np.clip(img.astype(np.float64) * scale + shift, 0, 255).astype(np.uint8)
 
 
+def random_lines(img: np.ndarray, rng: np.random.Generator,
+                 num_lines: int = 8) -> np.ndarray:
+    """Scribble random lines (`image_helper.py` ``opencvRandomLines``)."""
+    im = Image.fromarray(np.asarray(img, np.uint8))
+    draw = ImageDraw.Draw(im)
+    h, w = img.shape[0], img.shape[1]
+    for _ in range(int(rng.integers(1, num_lines + 1))):
+        x1, x2 = rng.integers(0, w, 2)
+        y1, y2 = rng.integers(0, h, 2)
+        color = tuple(int(c) for c in rng.integers(0, 256, 3))
+        draw.line([(int(x1), int(y1)), (int(x2), int(y2))], fill=color,
+                  width=int(rng.integers(1, 4)))
+    return np.asarray(im)
+
+
 def blur(img: np.ndarray, radius: float = 1.5) -> np.ndarray:
     return np.asarray(
         Image.fromarray(np.asarray(img, np.uint8)).filter(
