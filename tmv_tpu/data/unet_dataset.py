@@ -41,12 +41,17 @@ def order_corners(points: np.ndarray) -> np.ndarray | None:
     return np.float32([lt, lb, rt, rb])
 
 
-def load_labelme_labels(label_path: str) -> List[Dict]:
+def load_labelme_labels(label_path: str, first_shape: bool = False) -> List[Dict]:
+    """``first_shape=False`` keeps the reference's exactly-one-shape filter
+    (`dataset_ywb.py:84-85`); True takes the first shape of multi-shape
+    files instead — the reference's own shipped `train_data/json` files all
+    have multiple shapes and would otherwise load zero labels."""
     labels = []
     for file_path in read_file_list(label_path, r"\.json$"):
         with open(file_path, "r", encoding="utf-8") as f:
             data = json.load(f)
-        if len(data.get("shapes", [])) != 1:
+        n_shapes = len(data.get("shapes", []))
+        if n_shapes == 0 or (n_shapes != 1 and not first_shape):
             continue
         json_dir = os.path.dirname(file_path)
         image_path = os.path.join(
@@ -60,9 +65,10 @@ def load_labelme_labels(label_path: str) -> List[Dict]:
 
 class UNetDataGenerator:
     def __init__(self, label_path: str, input_shape: Tuple[int, int],
-                 seed: int | None = None, augment: bool = True):
+                 seed: int | None = None, augment: bool = True,
+                 first_shape: bool = False):
         self.input_shape = input_shape  # (W, H) like the reference
-        self.labels = load_labelme_labels(label_path)
+        self.labels = load_labelme_labels(label_path, first_shape)
         self.labels_num = len(self.labels)
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
@@ -119,11 +125,11 @@ class UNetDataGenerator:
 def get_dataset(label_path: str, batch_size: int, points_num: int,
                 input_size: Tuple[int, int], output_size: Tuple[int, int],
                 kernel_size: Tuple[int, int] = (11, 11), seed: int = 0,
-                augment: bool = True):
+                augment: bool = True, first_shape: bool = False):
     """Batched iterator of {'image', 'target'} dicts (`dataset_ywb.py:150-173`)."""
     import jax.numpy as jnp
 
-    gen = UNetDataGenerator(label_path, input_size, seed, augment)
+    gen = UNetDataGenerator(label_path, input_size, seed, augment, first_shape)
     soft_label = SoftLabel(image_size=output_size, points_num=points_num,
                            kernel_size=kernel_size)
 

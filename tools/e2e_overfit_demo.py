@@ -82,11 +82,11 @@ def main():
     it = iter(pipeline)
     batch = next(it)  # deterministic pipeline → fixed batch, pure overfit
     first_loss = None
-    for i in range(600):
+    for i in range(2000):
         state, metrics = step(state, batch, jax.random.key(i))
         if i == 0:
             first_loss = float(metrics["raw_loss"])
-        if i % 100 == 0:
+        if i % 250 == 0:
             print(f"step {i} loss {float(metrics['raw_loss']):.3f}")
     final_loss = float(metrics["raw_loss"])
 
