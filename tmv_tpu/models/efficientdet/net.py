@@ -75,11 +75,22 @@ class EfficientDetNet(nn.Module):
         return boxes_outputs, classes_outputs
 
 
-def make_efficientdet_loss_fn(model: EfficientDetNet, weight_decay: float = 4e-5):
+def make_efficientdet_loss_fn(model: EfficientDetNet,
+                              weight_decay: float = 4e-5,
+                              reference_focal_reduction: bool = False):
     """Loss for ``make_train_step`` — `efficientdet_net_train.py:41-52`.
 
     Batch: image (B,H,W,3), targets from ``Anchors.generate_targets``
     vmapped over the batch: boxes/classes/masks tuples per level.
+
+    ``reference_focal_reduction``: the reference wraps its FocalLoss in a
+    Keras ``Loss`` whose AUTO reduction takes the *mean over all elements*
+    (≈ B·h·w·A·C ≈ 10⁵), on top of the num_positives normalizer — which
+    underweights classification by ~5 orders of magnitude vs the box term
+    and prevents the classifier from training (verified empirically: fg
+    logits stay at the prior after full overfitting).  Default False uses
+    the automl-standard ``sum / num_positives`` (google/automl efficientdet
+    ``cls_loss`` semantics); True replicates the reference bit-for-bit.
     """
     cfg = model.config
 
@@ -105,8 +116,10 @@ def make_efficientdet_loss_fn(model: EfficientDetNet, weight_decay: float = 4e-5
                 y_true_classes[level], y_pred_classes[level], num_positives,
                 alpha=cfg.alpha, gamma=cfg.gamma,
             )
-            # Keras Loss AUTO reduction = mean over all elements
-            loss_c = jnp.mean(per_elem)
+            if reference_focal_reduction:
+                loss_c = jnp.mean(per_elem)  # Keras AUTO reduction
+            else:
+                loss_c = jnp.sum(per_elem)  # automl: sum / num_positives
             loss += loss_b * 50.0 + loss_c
         return loss, (mutated["batch_stats"], {})
 
