@@ -14,7 +14,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SIZE = 256
-STEPS = 1200
+STEPS = 3500
 
 
 def main():
