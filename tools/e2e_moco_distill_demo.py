@@ -1,0 +1,171 @@
+"""MoCo + distillation end-to-end demo.
+
+1. MoCo: contrastive pretraining on two-crop views of synthetic images —
+   InfoNCE loss must fall as the query tower learns view-invariant features
+   (queue + momentum key updates exercised on device).
+2. Distillation: a teacher (quick-overfit ResNet-YOLO on synthetic boxes)
+   pseudo-labels unlabeled images inside the jitted labeler; a fresh student
+   trains on those labels and is scored with the quirky mAP against the
+   *real* ground truth.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZE = 160
+ANCHORS = np.array(
+    [[[116, 90], [156, 198], [373, 326]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[10, 13], [16, 30], [33, 23]]], np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tools.e2e_overfit_demo import make_dataset
+    from tmv_tpu.core.train_state import TrainState, make_train_step
+    from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
+    from tmv_tpu.data.yolo_targets import make_yolo_targets
+    from tmv_tpu.models.detector_harness import (
+        eval_map_step, make_yolo_loss_fn, make_yolo_predict,
+    )
+    from tmv_tpu.models.distill import make_pseudo_label_fn
+    from tmv_tpu.models.moco import (
+        ResNetYoloV3, init_moco_state, make_moco_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # ---------------- MoCo pretraining
+    model = ResNetYoloV3(out_filters=21, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3))
+    variables = model.init(jax.random.key(0), x0, train=False)
+    heads = model.apply(variables, x0, train=False)
+    feat_dim = sum(int(np.prod(h.shape[1:])) for h in heads)
+    extra = init_moco_state(variables, queue_size=64, feature_dim=feat_dim,
+                            rng=jax.random.key(1))
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx, extra=extra)
+    step = jax.jit(make_moco_train_step(model, tx,
+                                        momentum_warmup_steps=50))
+
+    base_imgs = rng.uniform(size=(256, SIZE, SIZE, 3)).astype(np.float32)
+
+    def two_crops(i):
+        idx = rng.integers(0, 256, 8)
+        q = base_imgs[idx] + rng.normal(0, 0.08, (8, SIZE, SIZE, 3))
+        k = base_imgs[idx] + rng.normal(0, 0.08, (8, SIZE, SIZE, 3))
+        return {
+            "query": jnp.asarray(np.clip(q, 0, 1).astype(np.float32)),
+            "key": jnp.asarray(np.clip(k, 0, 1).astype(np.float32)),
+        }
+
+    from tmv_tpu.models.moco import flatten_normalize
+
+    @jax.jit
+    def contrastive_accuracy(params, stats, key_params, key_stats, queue,
+                             batch):
+        y_q = model.apply({"params": params, "batch_stats": stats},
+                          batch["query"], train=False)
+        y_k = model.apply({"params": key_params, "batch_stats": key_stats},
+                          batch["key"], train=False)
+        q = flatten_normalize(y_q)
+        k = flatten_normalize(y_k)
+        l_pos = jnp.sum(q * k, axis=1)
+        l_neg = jnp.max(q @ queue.T, axis=1)
+        return jnp.mean((l_pos > l_neg).astype(jnp.float32))
+
+    eval_batch = two_crops(999)
+
+    def acc(st):
+        return float(contrastive_accuracy(
+            st.params, st.batch_stats, st.extra.key_params,
+            st.extra.key_batch_stats, st.extra.queue, eval_batch))
+
+    acc_before = acc(state)
+    for i in range(300):
+        state, metrics = step(state, two_crops(i), jax.random.key(i))
+        if i % 75 == 0:
+            print(f"moco step {i} loss {float(metrics['loss']):.4f}")
+    acc_after = acc(state)
+    results["moco"] = {
+        "contrastive_accuracy_before": round(acc_before, 4),
+        "contrastive_accuracy_after": round(acc_after, 4),
+        "final_loss": round(float(metrics["loss"]), 4),
+    }
+
+    # ---------------- Distillation
+    root = make_dataset("/tmp/e2e_demo_distill")
+    image_wh = (SIZE, SIZE)
+    pipeline = YoloDataPipeline(
+        os.path.join(root, "imgs"), os.path.join(root, "labels.txt"),
+        os.path.join(root, "classes.txt"), batch_size=8, anchors=ANCHORS,
+        image_wh=image_wh, image_random=False, label_mean=False,
+    )
+    det_model = ResNetYoloV3(out_filters=3 * (5 + 2), dtype=jnp.bfloat16)
+    det_vars = det_model.init(jax.random.key(2), x0, train=False)
+    dtx = optax.adam(3e-4)
+    teacher = TrainState.create(det_vars["params"], det_vars["batch_stats"],
+                                dtx)
+    loss_fn = make_yolo_loss_fn(det_model, image_wh, ANCHORS, iou_type="iou")
+    tstep = jax.jit(make_train_step(loss_fn, dtx, shadow_loss=True))
+    batch = next(iter(pipeline))
+    for i in range(1200):
+        teacher, tm = tstep(teacher, batch, jax.random.key(i))
+    print(f"teacher loss {float(tm['raw_loss']):.3f}")
+    teacher_vars = {"params": teacher.params,
+                    "batch_stats": teacher.batch_stats}
+
+    # student trains ONLY on teacher pseudo-labels
+    labeler = make_pseudo_label_fn(det_model, ANCHORS, image_wh, 2,
+                                   max_boxes=20)
+    targets_fn = jax.jit(jax.vmap(
+        lambda b, c, v: make_yolo_targets(b, c, v, ANCHORS, image_wh, 2)))
+    student_vars = det_model.init(jax.random.key(3), x0, train=False)
+    student = TrainState.create(student_vars["params"],
+                                student_vars["batch_stats"], dtx)
+    images = batch["image"]
+    for i in range(1200):
+        boxes, ids, valid = labeler(teacher_vars, images, jax.random.key(i))
+        targets = targets_fn(boxes, ids.astype(jnp.int32), valid)
+        student, sm = tstep(student, {"image": images, "targets": targets},
+                            jax.random.key(i))
+    print(f"student loss {float(sm['raw_loss']):.3f}")
+
+    predict = make_yolo_predict(det_model, image_wh, ANCHORS, 2,
+                                confidence_thresh=0.5, scores_thresh=0.3)
+    eval_pipe = YoloDataPipeline(
+        os.path.join(root, "imgs"), os.path.join(root, "labels.txt"),
+        os.path.join(root, "classes.txt"), batch_size=1, anchors=ANCHORS,
+        image_wh=image_wh, image_random=False, label_mean=False,
+    )
+    eit = iter(eval_pipe)
+    maps_t, maps_s = [], []
+    svars = {"params": student.params, "batch_stats": student.batch_stats}
+    for _ in range(8):
+        b = next(eit)
+        maps_t.append(eval_map_step(predict, teacher_vars, b, 2))
+        maps_s.append(eval_map_step(predict, svars, b, 2))
+    results["distill"] = {
+        "teacher_mAP@0.5": round(float(np.mean(maps_t)), 4),
+        "student_mAP@0.5_from_pseudo_labels": round(float(np.mean(maps_s)), 4),
+    }
+    print(json.dumps(results))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "e2e_demo_result.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data.update(results)
+    json.dump(data, open(path, "w"), indent=2)
+
+
+if __name__ == "__main__":
+    main()
