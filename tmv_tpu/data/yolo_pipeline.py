@@ -12,9 +12,7 @@ This replaces tf.data's per-sample ``map`` graphs with batch-level XLA and
 keeps the TPU input pipeline free of dynamic shapes.
 """
 
-import threading
-from queue import Queue
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

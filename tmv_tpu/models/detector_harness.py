@@ -17,7 +17,6 @@ Parity surface:
 - ``GetGroudTruth`` + per-batch mAP test step (`yolo_v3/model.py:229-279`).
 """
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -129,7 +128,6 @@ def freeze_mask(params, trainable_prefixes: Sequence[str]):
     def path_str(path):
         return "/".join(getattr(p, "key", str(p)) for p in path)
 
-    mask = {}
     leaves = {}
     for path, leaf in flat:
         leaves[path_str(path)] = any(
