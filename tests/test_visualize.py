@@ -15,8 +15,8 @@ class TestVisUtils:
             img, 0.2, 0.2, 0.8, 0.8, color="red", thickness=2,
             display_str_list=["cat: 90%"])
         assert img.sum() > 0
-        # box edge at y=0.2*64
-        assert img[13, 32].max() > 0
+        # box edge near y=0.2*64 (PIL line-width rounding)
+        assert img[11:15, 32].max() > 0
 
     def test_draw_keypoints(self):
         img = np.zeros((64, 64, 3), np.uint8)
