@@ -36,7 +36,8 @@ def main():
     x0 = jnp.zeros((1, args.imageSize, args.imageSize, 3))
     variables = model.init(jax.random.key(0), x0, train=False)
     params, stats = load_darknet_weights(
-        variables["params"], variables["batch_stats"], args.weights)
+        variables["params"], variables["batch_stats"], args.weights,
+        model=model, input_size=args.imageSize)
     state = TrainState.create(
         jax.tree.map(jnp.asarray, params),
         jax.tree.map(jnp.asarray, stats), optax.sgd(1e-3))

@@ -78,7 +78,8 @@ def main():
         from tmv_tpu.convert.darknet import load_darknet_weights
 
         params, batch_stats = load_darknet_weights(
-            params, batch_stats, args.darknetWeights)
+            params, batch_stats, args.darknetWeights,
+            model=model, input_size=(image_wh[1], image_wh[0]))
         print(f"loaded darknet weights: {args.darknetWeights}")
 
     tx = optax.adam(args.lr)

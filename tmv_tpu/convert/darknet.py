@@ -11,65 +11,90 @@ convolutional layer in *config order*: either ``bias`` (conv with bias) or
 ``bn_beta, bn_gamma, bn_mean, bn_var`` (batch-normalized conv), followed by
 conv weights in ``(out, in, h, w)`` order.
 
-Because the flax models here define layers in exactly the Darknet config
-order, the parameter pytree's insertion order *is* the weight-stream order:
-the importer walks the tree, pairing each conv kernel with its BN table or
-bias, and consumes the stream.  ``save_darknet_weights`` is the inverse —
-it exists so the mapping is round-trip-testable without shipping the
-original weight files.
+The flax models here call their convs in exactly the Darknet config order,
+but **the params dict cannot be trusted to preserve that order** (flax/JAX
+rebuild dicts with sorted keys, so ``ConvBN_10`` walks before ``ConvBN_2``).
+The importer therefore derives the stream order by *tracing* the model —
+``conv_call_order`` records each ``nn.Conv`` / ``nn.BatchNorm`` path during
+an abstract ``model.init`` (``jax.eval_shape``, no FLOPs) — and pairs each
+conv kernel with the BN that immediately follows it in call order (or with
+its own bias).  ``save_darknet_weights`` is the inverse so the mapping is
+round-trip-testable without shipping the original weight files.
 """
 
-import io
 import struct
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+Path = Tuple[str, ...]
 
-def _walk_conv_layers(params: Dict, batch_stats: Dict) -> List[Dict]:
-    """Ordered conv-layer specs: kernel path + (bn paths | bias path).
 
-    Walks the params tree in insertion (call) order.  A conv kernel inside a
-    ``ConvBN`` is followed (in its parent subtree) by a BatchNorm; a bare
-    ``DarknetConv`` kernel pairs with its own bias.
+def conv_call_order(model, input_size, train: bool = False,
+                    channels: int = 3) -> List[Tuple[str, Path]]:
+    """Trace ``model.init`` and record conv/BN module paths in call order.
+
+    This is the ground truth for the Darknet weight-stream order: the order
+    convs execute, not the (sorted) order params dicts iterate.  Uses
+    ``jax.eval_shape`` so no real compute happens.
+
+    Args:
+        model: a flax module whose ``__call__(x, train=...)`` builds the net.
+        input_size: int or (h, w) of the dummy input.
+        channels: input channels.
+
+    Returns:
+        list of ("conv" | "bn", path-tuple) in execution order.
     """
-    layers: List[Dict] = []
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
 
-    def bn_stats_at(path: Tuple[str, ...]):
-        node = batch_stats
-        for k in path:
-            node = node[k]
-        return node
+    if isinstance(input_size, int):
+        input_size = (input_size, input_size)
+    order: List[Tuple[str, Path]] = []
 
-    def visit(node: Dict, path: Tuple[str, ...]):
-        keys = list(node.keys())
-        # Is this a ConvBN-shaped module? (conv child + batchnorm child)
-        conv_children = [k for k in keys if k.startswith("DarknetConv")]
-        bn_children = [k for k in keys if k.startswith("BatchNorm")]
-        for k in keys:
-            child = node[k]
-            if not isinstance(child, dict):
-                continue
-            if k.startswith("Conv_"):
-                # bare flax Conv holding kernel (+ maybe bias)
-                entry = {"kernel": path + (k, "kernel")}
-                if "bias" in child:
-                    entry["bias"] = path + (k, "bias")
-                layers.append(entry)
-            else:
-                visit(child, path + (k,))
-        # attach BN info to the conv that precedes it within this module
-        if conv_children and bn_children:
-            bn_path = path + (bn_children[0],)
-            layers[-1]["bn"] = {
-                "scale": bn_path + ("scale",),
-                "bias": bn_path + ("bias",),
-                "stats": bn_stats_at(bn_path),
-                "stats_path": bn_path,
+    def interceptor(next_fn, args, kwargs, context):
+        if (context.method_name == "__call__"
+                and isinstance(context.module, (nn.Conv, nn.BatchNorm))):
+            kind = "conv" if isinstance(context.module, nn.Conv) else "bn"
+            path = tuple(context.module.path)
+            if not order or order[-1][1] != path:
+                order.append((kind, path))
+        return next_fn(*args, **kwargs)
+
+    x = jnp.zeros((1, input_size[0], input_size[1], channels), jnp.float32)
+    with nn.intercept_methods(interceptor):
+        try:
+            jax.eval_shape(lambda k: model.init(k, x, train=train),
+                           jax.random.key(0))
+        except TypeError:
+            jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
+    return order
+
+
+def _layer_specs(params: Dict, order: Sequence[Tuple[str, Path]]
+                 ) -> List[Dict]:
+    """Pair each traced conv with its following BN (or its own bias)."""
+    specs: List[Dict] = []
+    for kind, path in order:
+        if kind == "conv":
+            node = _get(params, path)
+            entry: Dict[str, Any] = {"kernel": path + ("kernel",)}
+            if "bias" in node:
+                entry["bias"] = path + ("bias",)
+            specs.append(entry)
+        else:  # bn — belongs to the conv that just executed
+            if not specs or "bn" in specs[-1]:
+                raise ValueError(
+                    f"BatchNorm at {path} does not follow a conv — "
+                    "unsupported architecture for darknet import")
+            specs[-1]["bn"] = {
+                "scale": path + ("scale",),
+                "bias": path + ("bias",),
+                "stats_path": path,
             }
-
-    visit(params, ())
-    return layers
+    return specs
 
 
 def _get(tree, path):
@@ -86,16 +111,34 @@ def _set(tree, path, value):
     node[path[-1]] = value
 
 
-def load_darknet_weights(params: Dict, batch_stats: Dict, weights_file):
+def _resolve_specs(params, model, input_size, order, channels=3):
+    if order is None:
+        if model is None:
+            raise ValueError(
+                "pass model= (traced for call order) or an explicit order=; "
+                "walking the params dict is unsound — flax/JAX sort dict "
+                "keys, so ConvBN_10 would walk before ConvBN_2")
+        order = conv_call_order(model, input_size, channels=channels)
+    return _layer_specs(params, order)
+
+
+def load_darknet_weights(params: Dict, batch_stats: Dict, weights_file,
+                         *, model=None, input_size=416, channels=3,
+                         order: Optional[Sequence] = None):
     """Fill (a copy of) params/batch_stats from a Darknet weights stream.
 
     Args:
         weights_file: path or binary file-like.
+        model: flax module used to trace the conv call order (the weight
+            stream order).  Alternatively pass ``order`` from
+            :func:`conv_call_order` directly.
+        input_size: dummy input size for the trace.
 
     Returns (params, batch_stats) with imported values (float32).
     """
     import copy
 
+    specs = _resolve_specs(params, model, input_size, order, channels)
     params = copy.deepcopy(jax_to_numpy(params))
     batch_stats = copy.deepcopy(jax_to_numpy(batch_stats))
 
@@ -111,14 +154,32 @@ def load_darknet_weights(params: Dict, batch_stats: Dict, weights_file):
             f.read(8)  # seen: int64
         else:
             f.read(4)  # seen: int32
-        for layer in _walk_conv_layers(params, batch_stats):
+        for i, layer in enumerate(specs):
             kernel = _get(params, layer["kernel"])
             kh, kw, in_f, out_f = kernel.shape
+            need = 4 * out_f * (4 if "bn" in layer else
+                                (1 if "bias" in layer else 0))
+            need += 4 * out_f * in_f * kh * kw
+            buf = f.read(need)
+            if len(buf) < need:
+                raise ValueError(
+                    f"weights stream exhausted at conv {i}/{len(specs)} "
+                    f"({'/'.join(layer['kernel'][:-1])}, "
+                    f"{kh}x{kw}x{in_f}->{out_f}): architecture/weights "
+                    "mismatch")
+            off = 0
+
+            def take(n):
+                nonlocal off
+                a = np.frombuffer(buf, np.float32, count=n, offset=off)
+                off += 4 * n
+                return a
+
             if "bn" in layer:
-                beta = np.frombuffer(f.read(4 * out_f), np.float32)
-                gamma = np.frombuffer(f.read(4 * out_f), np.float32)
-                mean = np.frombuffer(f.read(4 * out_f), np.float32)
-                var = np.frombuffer(f.read(4 * out_f), np.float32)
+                beta = take(out_f)
+                gamma = take(out_f)
+                mean = take(out_f)
+                var = take(out_f)
                 _set(params, layer["bn"]["bias"], beta.copy())
                 _set(params, layer["bn"]["scale"], gamma.copy())
                 _set(batch_stats, layer["bn"]["stats_path"] + ("mean",),
@@ -126,25 +187,26 @@ def load_darknet_weights(params: Dict, batch_stats: Dict, weights_file):
                 _set(batch_stats, layer["bn"]["stats_path"] + ("var",),
                      var.copy())
             elif "bias" in layer:
-                bias = np.frombuffer(f.read(4 * out_f), np.float32)
-                _set(params, layer["bias"], bias.copy())
-            n = out_f * in_f * kh * kw
-            w = np.frombuffer(f.read(4 * n), np.float32)
+                _set(params, layer["bias"], take(out_f).copy())
+            w = take(out_f * in_f * kh * kw)
             w = w.reshape(out_f, in_f, kh, kw).transpose(2, 3, 1, 0)
             _set(params, layer["kernel"], np.ascontiguousarray(w))
         leftover = f.read()
         if leftover:
             raise ValueError(
-                f"{len(leftover)} unread bytes: architecture/weights mismatch"
-            )
+                f"{len(leftover)} unread bytes after {len(specs)} convs: "
+                "architecture/weights mismatch")
     finally:
         if close:
             f.close()
     return params, batch_stats
 
 
-def save_darknet_weights(params: Dict, batch_stats: Dict, weights_file):
+def save_darknet_weights(params: Dict, batch_stats: Dict, weights_file,
+                         *, model=None, input_size=416, channels=3,
+                         order: Optional[Sequence] = None):
     """Inverse of ``load_darknet_weights`` (round-trip testing / export)."""
+    specs = _resolve_specs(params, model, input_size, order, channels)
     params = jax_to_numpy(params)
     batch_stats = jax_to_numpy(batch_stats)
     close = False
@@ -156,7 +218,7 @@ def save_darknet_weights(params: Dict, batch_stats: Dict, weights_file):
     try:
         f.write(struct.pack("<3i", 0, 2, 0))
         f.write(struct.pack("<q", 0))
-        for layer in _walk_conv_layers(params, batch_stats):
+        for layer in specs:
             kernel = np.asarray(_get(params, layer["kernel"]))
             if "bn" in layer:
                 f.write(np.asarray(_get(params, layer["bn"]["bias"]),
