@@ -1,15 +1,22 @@
-"""Benchmark: EfficientDet-D0 inference throughput on the local accelerator.
+"""North-star benchmark on the local accelerator (one JSON line).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Covers the full BASELINE.json metric: images/sec/chip for EfficientDet-D0
+@512 *and* YOLOv4 @640, plus p50 image→boxes latency (forward + decode +
+class-aware NMS, single image).  The primary ``metric``/``value`` keys keep
+the round-1 definition (D0 inference throughput) so rounds stay comparable;
+the companion numbers ride in ``extra`` of the same JSON line.
 
 Measurement method: the dev-harness 'axon' backend neither honors
 ``block_until_ready`` as a completion barrier nor keeps per-call dispatch
 cheap (~30 ms RPC floor), so naive wall-clock loops report impossible
 numbers (calibrated: an 8192³ bf16 matmul shows 172 TFLOP/s ≈ 87% of v5e
-peak only when measured this way).  We therefore time *chained* forwards —
-k data-dependent model applications inside one jit, result fetched to host
-— for two values of k and report the slope, which cancels the RPC constant
-and measures pure device throughput.
+peak only when measured this way).  We therefore time *chained* executions
+— k data-dependent applications inside one jit (k a traced loop bound, so
+one compile serves every k), result fetched to host — for two values of k
+and report the slope, which cancels the RPC constant and measures pure
+device time.  p50 is reported two ways: the slope-method device latency
+(what a production TPU with local dispatch would see) and the naive
+end-to-end wall clock through the dev tunnel.
 
 The TF2-CPU denominator comes from ``tools/measure_tf_cpu_baseline.py``
 (cached in baseline_measured.json).
@@ -18,18 +25,57 @@ The TF2-CPU denominator comes from ``tools/measure_tf_cpu_baseline.py``
 import json
 import os
 import time
-from functools import partial
 
 import numpy as np
 
-BATCH = 64
+BATCH_D0 = 64
+BATCH_YOLO = 16
 K_SMALL, K_LARGE = 1, 5
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_measured.json")
 FALLBACK_TF_CPU_IPS = 5.97
 
+YOLO_ANCHORS = np.array(
+    [[[116, 90], [156, 198], [373, 326]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[10, 13], [16, 30], [33, 23]]], np.float32)
 
-def main():
+
+def make_chain(apply_fn):
+    """jit of k chained applications; k is traced (single compile).
+
+    The epsilon feedback creates a data dependency between iterations —
+    defeats dispatch pipelining / result elision without changing FLOPs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(v, x, k):
+        def body(i, carry):
+            s = apply_fn(v, carry)
+            return carry + (s * 1e-12).astype(carry.dtype)
+        out = jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    return chain
+
+
+def slope_time(run, reps=3):
+    """Per-iteration device seconds of ``run(k)`` via the slope method."""
+    times = {}
+    for k in (K_SMALL, K_LARGE):
+        _ = run(k)  # warm (compile amortized on first call)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = run(k)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
+
+
+def bench_d0_throughput():
     import jax
     import jax.numpy as jnp
 
@@ -44,32 +90,83 @@ def main():
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
     x0 = jnp.asarray(
-        rng.uniform(size=(BATCH, size, size, 3)).astype(np.float32))
+        rng.uniform(size=(BATCH_D0, size, size, 3)).astype(np.float32))
 
-    @partial(jax.jit, static_argnums=2)
-    def fwd_chain(v, x, k):
-        # data dependency between iterations defeats dispatch pipelining /
-        # result elision; the epsilon feedback does not change the FLOPs
-        def body(i, carry):
-            boxes, _classes = model.apply(v, carry, train=False)
-            s = sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
-            return carry + (s * 1e-12).astype(carry.dtype)
-        out = jax.lax.fori_loop(0, k, body, x)
-        return jnp.sum(out.astype(jnp.float32))
+    def apply_fn(v, x):
+        boxes, _classes = model.apply(v, x, train=False)
+        return sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
 
-    def timed(k, reps=3):
-        _ = np.asarray(fwd_chain(variables, x0, k))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(fwd_chain(variables, x0, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    chain = make_chain(apply_fn)
+    per_fwd = slope_time(lambda k: np.asarray(chain(variables, x0, k)))
+    return BATCH_D0 / per_fwd
 
-    t_small = timed(K_SMALL)
-    t_large = timed(K_LARGE)
-    per_fwd = (t_large - t_small) / (K_LARGE - K_SMALL)
-    ips = BATCH / per_fwd
+
+def bench_yolo(size=640):
+    """YOLOv4 throughput (batch forward) + p50 image→boxes (batch 1).
+
+    Returns (images_per_sec, p50_device_ms, p50_e2e_tunnel_ms).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tmv_tpu.models.detector_harness import make_yolo_predict
+    from tmv_tpu.models.yolo_v4 import YoloV4
+
+    model = YoloV4(classes_num=80, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
+
+    # throughput: plain forward, batch
+    xb = jnp.asarray(
+        rng.uniform(size=(BATCH_YOLO, size, size, 3)).astype(np.float32))
+
+    def fwd_fn(v, x):
+        heads = model.apply(v, x, train=False)
+        return sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
+
+    fwd_chain = make_chain(fwd_fn)
+    per_fwd = slope_time(lambda k: np.asarray(fwd_chain(variables, xb, k)))
+    ips = BATCH_YOLO / per_fwd
+
+    # latency: full predict path (forward + decode + class-aware DIoU-NMS)
+    predict = make_yolo_predict(model, (size, size), YOLO_ANCHORS, 80,
+                                iou_type="diou")
+    x1 = jnp.asarray(
+        rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+
+    def predict_fn(v, x):
+        boxes, scores, classes, valid = predict(v, x)
+        return (jnp.sum(boxes.astype(jnp.float32))
+                + jnp.sum(scores.astype(jnp.float32)))
+
+    predict_chain = make_chain(predict_fn)
+    p50_device_ms = slope_time(
+        lambda k: np.asarray(predict_chain(variables, x1, k))) * 1000
+
+    # e2e through the tunnel: the same compiled chain at k=1 is one predict
+    wall = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        _ = np.asarray(predict_chain(variables, x1, 1))
+        wall.append(time.perf_counter() - t0)
+    p50_e2e_ms = float(np.percentile(wall, 50) * 1000)
+    return ips, p50_device_ms, p50_e2e_ms
+
+
+def main():
+    import jax
+
+    # persistent compile cache: first run pays the remote-compile tunnel
+    # (~9 min for the two models); reruns are seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    t0 = time.time()
+    d0_ips = bench_d0_throughput()
+    yolo_ips, p50_device_ms, p50_e2e_ms = bench_yolo(640)
 
     baseline = FALLBACK_TF_CPU_IPS
     if os.path.exists(BASELINE_FILE):
@@ -78,9 +175,22 @@ def main():
 
     print(json.dumps({
         "metric": "efficientdet_d0_infer_images_per_sec_per_chip",
-        "value": round(ips, 3),
+        "value": round(d0_ips, 3),
         "unit": "images/sec",
-        "vs_baseline": round(ips / baseline, 3),
+        "vs_baseline": round(d0_ips / baseline, 3),
+        "extra": {
+            "yolov4_640_infer_images_per_sec_per_chip": round(yolo_ips, 3),
+            "yolov4_640_p50_image_to_boxes_ms_device": round(
+                p50_device_ms, 3),
+            "yolov4_640_p50_image_to_boxes_ms_e2e_tunnel": round(
+                p50_e2e_ms, 3),
+            "tf_cpu_baseline_d0_ips": baseline,
+            "bench_wall_sec": round(time.time() - t0, 1),
+            "method": "slope (k-chained jit executions, traced k; axon "
+                      "tunnel RPC floor ~30ms and unreliable "
+                      "block_until_ready cancelled); e2e_tunnel is the "
+                      "naive wall clock",
+        },
     }))
 
 

@@ -339,6 +339,134 @@ class TestDarknetCfg:
                        train=False)
 
 
+class TestKerasH5Import:
+    """convert_tf2.py parity: name-mapped import from a Keras h5 file."""
+
+    def _randomized(self, m, rng, size=64):
+        from tmv_tpu.convert.darknet import jax_to_numpy
+        v = m.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                   train=False)
+        params = jax.tree.map(
+            lambda a: rng.normal(size=a.shape).astype(np.float32),
+            jax_to_numpy(v["params"]))
+        stats = jax.tree.map(
+            lambda a: rng.uniform(0.5, 1.5, size=a.shape).astype(np.float32),
+            jax_to_numpy(v["batch_stats"]))
+        return v, params, stats
+
+    def test_roundtrip_yolov3(self, rng, tmp_path):
+        from tmv_tpu.convert.h5_import import (
+            load_keras_h5_weights, save_keras_h5_weights,
+        )
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        m = YoloV3(classes_num=2)
+        v, params, stats = self._randomized(m, rng)
+        h5 = str(tmp_path / "w.h5")
+        save_keras_h5_weights(params, stats, h5, model=m, input_size=64)
+        p2, s2, skipped = load_keras_h5_weights(
+            v["params"], v["batch_stats"], h5, model=m, input_size=64)
+        assert skipped == []
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(stats),
+                        jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_h5_layer_order_not_alphabetical(self, rng, tmp_path):
+        """conv2d_2 sorts before conv2d_10 alphabetically; assignment must
+        follow layer_names order, not sorted dataset names."""
+        import flax.linen as nn
+        from tmv_tpu.convert.h5_import import (
+            load_keras_h5_weights, save_keras_h5_weights,
+        )
+        from tmv_tpu.models.layers.common import ConvBN
+
+        class ManyConvs(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                for _ in range(13):
+                    x = ConvBN(4, 1)(x, train)
+                return x
+
+        m = ManyConvs()
+        v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        from tmv_tpu.convert.darknet import jax_to_numpy
+        params = jax.tree.map(lambda a: np.array(a),
+                              jax_to_numpy(v["params"]))
+        stats = jax.tree.map(lambda a: np.array(a),
+                             jax_to_numpy(v["batch_stats"]))
+        for i in range(13):
+            params[f"ConvBN_{i}"]["DarknetConv_0"]["Conv_0"]["kernel"][:] = i
+            stats[f"ConvBN_{i}"]["BatchNorm_0"]["mean"][:] = i
+        h5 = str(tmp_path / "w.h5")
+        save_keras_h5_weights(params, stats, h5, model=m, input_size=8)
+        p2, s2, _ = load_keras_h5_weights(
+            v["params"], v["batch_stats"], h5, model=m, input_size=8)
+        for i in range(13):
+            np.testing.assert_array_equal(
+                np.asarray(
+                    p2[f"ConvBN_{i}"]["DarknetConv_0"]["Conv_0"]["kernel"]),
+                float(i))
+            np.testing.assert_array_equal(
+                np.asarray(s2[f"ConvBN_{i}"]["BatchNorm_0"]["mean"]),
+                float(i))
+
+    def test_shape_mismatch_strict_and_skip(self, rng, tmp_path):
+        from tmv_tpu.convert.h5_import import (
+            load_keras_h5_weights, save_keras_h5_weights,
+        )
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        m2 = YoloV3(classes_num=2)
+        m5 = YoloV3(classes_num=5)
+        v2, params, stats = self._randomized(m2, rng)
+        h5 = str(tmp_path / "w.h5")
+        save_keras_h5_weights(params, stats, h5, model=m2, input_size=64)
+        v5 = m5.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                     train=False)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            load_keras_h5_weights(v5["params"], v5["batch_stats"], h5,
+                                  model=m5, input_size=64)
+        # non-strict: the reference's print-and-skip behavior
+        p2, s2, skipped = load_keras_h5_weights(
+            v5["params"], v5["batch_stats"], h5, model=m5, input_size=64,
+            strict=False)
+        # exactly the 3 output heads (kernel+bias each) differ (5+5)*3 vs 30
+        assert len(skipped) == 6
+        for i, path, got, want in skipped:
+            assert "DarknetConv" in "/".join(path)
+
+    def test_unconsumed_h5_layers_raise(self, rng, tmp_path):
+        import flax.linen as nn
+        from tmv_tpu.convert.h5_import import (
+            load_keras_h5_weights, save_keras_h5_weights,
+        )
+        from tmv_tpu.models.layers.common import ConvBN
+
+        class Two(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return ConvBN(4, 1)(ConvBN(4, 1)(x, train), train)
+
+        class One(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return ConvBN(4, 1)(x, train)
+
+        v2 = Two().init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        train=False)
+        h5 = str(tmp_path / "w.h5")
+        save_keras_h5_weights(v2["params"], v2["batch_stats"], h5,
+                              model=Two(), input_size=8)
+        v1 = One().init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)),
+                        train=False)
+        with pytest.raises(ValueError, match="unconsumed"):
+            load_keras_h5_weights(v1["params"], v1["batch_stats"], h5,
+                                  model=One(), input_size=8)
+
+
 class TestCocoConvert:
     def test_convert(self, tmp_path):
         from tmv_tpu.utils.coco_convert import coco_to_labels
