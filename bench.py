@@ -75,7 +75,8 @@ def slope_time(run, reps=3):
     return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
 
 
-def bench_d0_throughput():
+def setup_d0():
+    """() → run(k) for the D0 batched-forward chain."""
     import jax
     import jax.numpy as jnp
 
@@ -97,15 +98,11 @@ def bench_d0_throughput():
         return sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
 
     chain = make_chain(apply_fn)
-    per_fwd = slope_time(lambda k: np.asarray(chain(variables, x0, k)))
-    return BATCH_D0 / per_fwd
+    return lambda k: np.asarray(chain(variables, x0, k))
 
 
-def bench_yolo(size=640):
-    """YOLOv4 throughput (batch forward) + p50 image→boxes (batch 1).
-
-    Returns (images_per_sec, p50_device_ms, p50_e2e_tunnel_ms).
-    """
+def setup_yolo(size=640):
+    """() → (fwd_run(k), predict_run(k)) for YOLOv4 chains."""
     import jax
     import jax.numpy as jnp
 
@@ -116,8 +113,6 @@ def bench_yolo(size=640):
     rng = np.random.default_rng(0)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
-
-    # throughput: plain forward, batch
     xb = jnp.asarray(
         rng.uniform(size=(BATCH_YOLO, size, size, 3)).astype(np.float32))
 
@@ -126,10 +121,7 @@ def bench_yolo(size=640):
         return sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
 
     fwd_chain = make_chain(fwd_fn)
-    per_fwd = slope_time(lambda k: np.asarray(fwd_chain(variables, xb, k)))
-    ips = BATCH_YOLO / per_fwd
 
-    # latency: full predict path (forward + decode + class-aware DIoU-NMS)
     predict = make_yolo_predict(model, (size, size), YOLO_ANCHORS, 80,
                                 iou_type="diou")
     x1 = jnp.asarray(
@@ -141,32 +133,34 @@ def bench_yolo(size=640):
                 + jnp.sum(scores.astype(jnp.float32)))
 
     predict_chain = make_chain(predict_fn)
-    p50_device_ms = slope_time(
-        lambda k: np.asarray(predict_chain(variables, x1, k))) * 1000
-
-    # e2e through the tunnel: the same compiled chain at k=1 is one predict
-    wall = []
-    for _ in range(15):
-        t0 = time.perf_counter()
-        _ = np.asarray(predict_chain(variables, x1, 1))
-        wall.append(time.perf_counter() - t0)
-    p50_e2e_ms = float(np.percentile(wall, 50) * 1000)
-    return ips, p50_device_ms, p50_e2e_ms
+    return (lambda k: np.asarray(fwd_chain(variables, xb, k)),
+            lambda k: np.asarray(predict_chain(variables, x1, k)))
 
 
 def main():
-    import jax
-
-    # persistent compile cache: first run pays the remote-compile tunnel
-    # (~9 min for the two models); reruns are seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
-    d0_ips = bench_d0_throughput()
-    yolo_ips, p50_device_ms, p50_e2e_ms = bench_yolo(640)
+    d0_run = setup_d0()
+    yolo_fwd_run, yolo_predict_run = setup_yolo(640)
+
+    # compile all three programs concurrently (the remote-compile tunnel
+    # dominates wall time); timing below stays sequential
+    runs = [d0_run, yolo_fwd_run, yolo_predict_run]
+    with ThreadPoolExecutor(len(runs)) as pool:
+        list(pool.map(lambda r: r(K_SMALL), runs))
+
+    d0_ips = BATCH_D0 / slope_time(d0_run)
+    yolo_ips = BATCH_YOLO / slope_time(yolo_fwd_run)
+    p50_device_ms = slope_time(yolo_predict_run) * 1000
+
+    # e2e through the tunnel: the compiled predict chain at k=1
+    wall = []
+    for _ in range(15):
+        t1 = time.perf_counter()
+        _ = yolo_predict_run(1)
+        wall.append(time.perf_counter() - t1)
+    p50_e2e_ms = float(np.percentile(wall, 50) * 1000)
 
     baseline = FALLBACK_TF_CPU_IPS
     if os.path.exists(BASELINE_FILE):

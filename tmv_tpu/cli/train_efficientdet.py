@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices")
+    # EarlyStopping on epoch train loss (efficientnet/train.py:138-139;
+    # LR stays with the cosine schedule as in the reference)
+    p.add_argument("--earlyStopPatience", type=int, default=10,
+                   help="epochs without train-loss improvement before "
+                        "stopping (0 disables)")
     return p.parse_args()
 
 
@@ -93,8 +98,14 @@ def main():
                            print_every=20)
     timer = StepTimer(batch_size=args.batchSize)
 
+    from tmv_tpu.core.callbacks import EarlyStopping
+
+    early = (EarlyStopping(patience=args.earlyStopPatience)
+             if args.earlyStopPatience else None)
+
     it = iter(pipeline)
     total = args.epochs * args.stepsPerEpoch
+    epoch_losses = []
     for i in range(int(state.step), total):
         batch = next(it)
         if dp is not None:
@@ -102,8 +113,15 @@ def main():
         state, metrics = step_fn(state, batch, jax.random.key(i))
         metrics.update(timer.tick())
         logger.log(i, metrics)
+        epoch_losses.append(float(metrics["loss"]))
         if (i + 1) % args.stepsPerEpoch == 0:
             mgr.save(int(state.step), state)
+            epoch_loss = float(np.mean(epoch_losses))
+            epoch_losses = []
+            if early is not None and early.update(epoch_loss):
+                print(f"early stopping: no improvement for "
+                      f"{args.earlyStopPatience} epochs")
+                break
     mgr.save(int(state.step), state, force=True)
     logger.close()
 

@@ -23,6 +23,15 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--modelPath", default="./data/unet_weights")
     p.add_argument("--dumpEvery", type=int, default=500)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--filtersBase", type=int, default=16)
+    # training-health callbacks (unet/train.py:102 EarlyStopping; the
+    # ReduceLROnPlateau mirrors the yolo trainers' live wiring)
+    p.add_argument("--earlyStopPatience", type=int, default=10,
+                   help="eval windows without loss improvement before "
+                        "stopping (0 disables)")
+    p.add_argument("--reduceLrPatience", type=int, default=0,
+                   help="flat windows before LR *= 0.1 (0 disables)")
     return p.parse_args()
 
 
@@ -42,13 +51,25 @@ def main():
         args.labelPath, args.batchSize, args.pointsNum, size, size)
     print(f"{gen.labels_num} labels")
 
-    model = UNetLogits(output_filters=args.pointsNum)
+    model = UNetLogits(depth=args.depth, filters_base=args.filtersBase,
+                       output_filters=args.pointsNum)
     x0 = jnp.zeros((1, size[1], size[0], 3))
     variables = model.init(jax.random.key(0), x0, train=False)
-    tx = optax.adam(args.lr)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     mgr = CheckpointManager(args.modelPath)
     state = mgr.restore(state)
+
+    from tmv_tpu.core.callbacks import (
+        EarlyStopping, ReduceLROnPlateau, set_learning_rate,
+    )
+
+    early = (EarlyStopping(patience=args.earlyStopPatience)
+             if args.earlyStopPatience else None)
+    plateau = (ReduceLROnPlateau(factor=0.1, patience=args.reduceLrPatience,
+                                 base_lr=args.lr)
+               if args.reduceLrPatience else None)
+    window_losses = []
 
     loss_fn = make_unet_loss_fn(model)
     step_fn = jax.jit(make_train_step(loss_fn, tx, clip_global_norm=10.0))
@@ -61,8 +82,17 @@ def main():
         state, metrics = step_fn(state, batch, jax.random.key(i))
         metrics.update(timer.tick())
         logger.log(i, metrics)
+        window_losses.append(float(metrics["loss"]))
         if (i + 1) % args.dumpEvery == 0:
             mgr.save(int(state.step), state)
+            window_loss = float(np.mean(window_losses))
+            window_losses = []
+            if plateau is not None:
+                state = set_learning_rate(state, plateau.update(window_loss))
+            if early is not None and early.update(window_loss):
+                print(f"early stopping: no improvement for "
+                      f"{args.earlyStopPatience} windows")
+                break
             # dump input/target/pred like the reference test_step
             # (unet/train.py:63-115)
             pred = jax.nn.sigmoid(model.apply(

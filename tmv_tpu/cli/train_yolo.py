@@ -39,6 +39,14 @@ def parse_args():
                    help="optional .weights warm start (convert.py parity)")
     p.add_argument("--warmupSteps", type=int, default=1000)
     p.add_argument("--bf16", action="store_true")
+    # training-health callbacks (yolo_v3/train.py:76-77 defaults)
+    p.add_argument("--earlyStopPatience", type=int, default=10,
+                   help="epochs without train-loss improvement before "
+                        "stopping (0 disables)")
+    p.add_argument("--reduceLrFactor", type=float, default=0.1)
+    p.add_argument("--reduceLrPatience", type=int, default=3,
+                   help="flat epochs before LR *= factor (0 disables)")
+    p.add_argument("--minLr", type=float, default=1e-6)
     return p.parse_args()
 
 
@@ -82,7 +90,9 @@ def main():
             model=model, input_size=(image_wh[1], image_wh[0]))
         print(f"loaded darknet weights: {args.darknetWeights}")
 
-    tx = optax.adam(args.lr)
+    # inject_hyperparams so ReduceLROnPlateau can rewrite the live LR
+    # without recompiling the jitted step
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
     state = TrainState.create(params, batch_stats, tx)
     mgr = CheckpointManager(args.modelPath)
     state = mgr.restore(state)
@@ -117,13 +127,36 @@ def main():
     predict_fn = make_yolo_predict(
         model, image_wh, anchors, pipeline.classes_num, iou_type=iou_type)
 
+    from tmv_tpu.core.callbacks import (
+        EarlyStopping, ReduceLROnPlateau, set_learning_rate,
+    )
+
+    early = (EarlyStopping(patience=args.earlyStopPatience)
+             if args.earlyStopPatience else None)
+    plateau = (ReduceLROnPlateau(
+        factor=args.reduceLrFactor, patience=args.reduceLrPatience,
+        min_lr=args.minLr, base_lr=args.lr)
+        if args.reduceLrPatience else None)
+
     total_steps = args.stepsPerEpoch * args.epochs
+    epoch_losses = []
     for step_i in range(start_step, total_steps):
         state, metrics = step_fn(state, next(it), jax.random.key(step_i))
         metrics.update(timer.tick())
         logger.log(step_i, metrics)
+        epoch_losses.append(float(metrics["loss"]))
         if (step_i + 1) % args.stepsPerEpoch == 0:
             mgr.save(int(state.step), state)
+            epoch_loss = float(np.mean(epoch_losses))
+            epoch_losses = []
+            if plateau is not None:
+                new_lr = plateau.update(epoch_loss)
+                state = set_learning_rate(state, new_lr)
+                print(f"epoch loss {epoch_loss:.4f} lr {new_lr:.2e}")
+            if early is not None and early.update(epoch_loss):
+                print(f"early stopping: no improvement for "
+                      f"{args.earlyStopPatience} epochs")
+                break
             if args.valData:
                 val = YoloDataPipeline(
                     args.valImagePath, args.valData, args.classesFile, 1,

@@ -12,6 +12,43 @@ or a schedule multiplier.
 from typing import Optional
 
 
+def set_learning_rate(state, lr: float):
+    """Thread a plateau-adjusted LR into a live ``TrainState``.
+
+    Works with optimizers built via ``optax.inject_hyperparams`` (the CLIs
+    use ``inject_hyperparams(optax.adam)(learning_rate=…)``): replaces the
+    ``learning_rate`` entry in every ``InjectHyperparamsState`` found in
+    ``state.opt_state``.  Pure pytree surgery — same structure/shape/dtype,
+    so the already-jitted train step needs no recompile.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    inject_types = (optax.InjectHyperparamsState,
+                    optax.InjectStatefulHyperparamsState)
+    found = []
+
+    def rec(s):
+        if isinstance(s, inject_types):
+            hp = dict(s.hyperparams)
+            if "learning_rate" in hp:
+                hp["learning_rate"] = jnp.asarray(
+                    lr, jnp.asarray(hp["learning_rate"]).dtype)
+                found.append(True)
+            return s._replace(hyperparams=hp)
+        if isinstance(s, tuple):
+            vals = [rec(x) for x in s]
+            return type(s)(*vals) if hasattr(s, "_fields") else tuple(vals)
+        return s
+
+    new_opt_state = rec(state.opt_state)
+    if not found:
+        raise ValueError(
+            "no InjectHyperparamsState with a learning_rate in opt_state — "
+            "build the optimizer with optax.inject_hyperparams")
+    return state.replace(opt_state=new_opt_state)
+
+
 class EarlyStopping:
     """Stop when the monitored value hasn't improved for ``patience`` epochs."""
 

@@ -28,6 +28,10 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, force: bool = False):
+        if step in (self._mgr.all_steps() or ()):
+            # already saved (e.g. final force-save right after the per-epoch
+            # save when early stopping broke the loop) — nothing to do
+            return
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
