@@ -164,3 +164,77 @@ class TestNmsBoxes:
         assert cx == pytest.approx(6.5 / 13, abs=1e-5)
         w = b[2] - b[0]
         assert w == pytest.approx(116 / 416, abs=1e-5)
+
+
+class TestPreNmsCap:
+    """Pins nms_boxes behavior at/above the pre_nms_size boundary
+    (VERDICT r1 weak #7; `tf_yolo_utils.py:169-269` is uncapped)."""
+
+    CLASSES = 2
+    ANCHORS = np.array([[[50, 50], [50, 50]]], np.float32)  # 1 scale, A=2
+
+    def _adversarial_head(self):
+        """(26,26,2,5+2) = 1352 candidates, all passing thresholds:
+        1351 near-identical huge class-0 boxes with descending scores, plus
+        one class-1 candidate ranked dead last (outside any top-1024)."""
+        h = np.zeros((26, 26, 2, 5 + self.CLASSES), np.float32)
+        h[..., 0:2] = 0.0          # centers at cell middles
+        h[..., 2:4] = 5.0          # exp(5)*50/416 ≈ 17.8 → all IoU ≈ 0.8
+        h[..., 4] = 3.0            # conf σ≈0.95
+        flat_scores = np.linspace(5.0, 2.0, 26 * 26 * 2, dtype=np.float32)
+        h[..., 5] = flat_scores.reshape(26, 26, 2)   # class-0 logits
+        h[..., 6] = -10.0
+        # the last candidate becomes the lone class-1 detection, lowest score
+        h[25, 25, 1, 5] = -10.0
+        h[25, 25, 1, 6] = 0.5      # σ≈0.62 → rank 1352 by max-class score
+        return h
+
+    def test_capped_drops_out_of_topk_survivor(self):
+        from tmv_tpu.ops.yolo import nms_boxes
+        head = jnp.asarray(self._adversarial_head())
+        kw = dict(confidence_thresh=0.5, scores_thresh=0.3, iou_thresh=0.5,
+                  max_output_size=8)
+        _, ids_c, _, _, _, valid_c = nms_boxes(
+            [head], self.ANCHORS, (416, 416), self.CLASSES,
+            pre_nms_size=1024, **kw)
+        _, ids_u, _, _, _, valid_u = nms_boxes(
+            [head], self.ANCHORS, (416, 416), self.CLASSES,
+            pre_nms_size=None, **kw)
+        # capped: the class-1 box ranks 1352 → dropped (documented quirk)
+        assert int(np.sum(valid_c)) == 1
+        assert np.asarray(ids_c)[np.asarray(valid_c)].tolist() == [0]
+        # uncapped: exact GetNMSBoxes semantics keep it
+        assert int(np.sum(valid_u)) == 2
+        assert np.asarray(ids_u)[np.asarray(valid_u)].tolist() == [0, 1]
+
+    def test_uncapped_matches_sequential_oracle_above_1024(self, rng):
+        from tests.test_nms import sequential_nms
+        from tmv_tpu.ops.yolo import decode_boxes, nms_boxes
+
+        classes_num = 3
+        raw = rng.normal(0, 1.5, size=(26, 26, 2, 5 + classes_num))
+        raw[..., 4] += 2.0   # most candidates pass conf
+        raw[..., 2:4] = rng.normal(0, 0.5, size=(26, 26, 2, 2))
+        head = jnp.asarray(raw.astype(np.float32))
+
+        b, ids, s, _, _, valid = nms_boxes(
+            [head], self.ANCHORS, (416, 416), classes_num,
+            confidence_thresh=0.5, scores_thresh=0.3, iou_thresh=0.5,
+            max_output_size=64, pre_nms_size=None)
+
+        boxes_np, conf_np, cls_np, valid_np = (
+            np.asarray(x) for x in decode_boxes(
+                head, jnp.asarray(self.ANCHORS[0]) / 416.0, classes_num))
+        scores_np = cls_np.max(-1)
+        ids_np = cls_np.argmax(-1)
+        passing = (valid_np & (conf_np > 0.5) & (scores_np > 0.3))
+        assert passing.sum() > 1024  # the boundary case this test pins
+        idx = np.where(passing)[0]
+        keep = sequential_nms(boxes_np[idx], scores_np[idx], ids_np[idx],
+                              max_out=64, iou_thr=0.5)
+        expected = idx[keep]
+        got = np.where(np.asarray(valid))[0]
+        np.testing.assert_array_equal(
+            np.asarray(b)[got], boxes_np[expected])
+        np.testing.assert_array_equal(
+            np.asarray(ids)[got], ids_np[expected])

@@ -21,7 +21,7 @@ TPU re-design decisions:
   pre-NMS candidate selection, keeping every shape static for XLA.
 """
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,7 +206,7 @@ def nms_boxes(
     iou_thresh: float = 0.5,
     iou_type: str = "iou",
     max_output_size: int = 500,
-    pre_nms_size: int = 1024,
+    pre_nms_size: Optional[int] = 1024,
 ):
     """Full predict post-process (``GetNMSBoxes``, `tf_yolo_utils.py:169-269`).
 
@@ -214,8 +214,16 @@ def nms_boxes(
     ``(h, w, A, 5+C)`` outputs.  Candidates failing
     ``conf > confidence_thresh ∧ max_class > scores_thresh`` are masked, the
     top ``pre_nms_size`` by class score enter class-aware NMS (static-shape
-    stand-in for the reference's dynamic candidate list — exact as long as
-    fewer than ``pre_nms_size`` candidates pass the thresholds).
+    stand-in for the reference's dynamic candidate list).
+
+    Exactness at the cap: with more than ``pre_nms_size`` candidates past
+    the thresholds, only the top-``pre_nms_size`` by class score can be
+    selected — a candidate outside that set that the sequential reference
+    would have kept (it survives because its same-class overlaps were
+    suppressed) is dropped.  ``pre_nms_size=None`` removes the cap (every
+    candidate enters NMS — exact ``GetNMSBoxes`` semantics at O(N·max_out)
+    IoU cost).  Behavior at/above the boundary is pinned by
+    ``tests/test_yolo_ops.py::TestPreNmsCap``.
 
     Returns (boxes, classes_id, scores, classes, confidence, valid), all
     padded to ``max_output_size``.
@@ -245,8 +253,9 @@ def nms_boxes(
     scores = jnp.max(classes, axis=-1)
     classes_id = jnp.argmax(classes, axis=-1).astype(jnp.int32)
 
-    # static pre-NMS candidate selection
-    k = min(pre_nms_size, scores.shape[0])
+    # static pre-NMS candidate selection (None = uncapped, exact)
+    k = (scores.shape[0] if pre_nms_size is None
+         else min(pre_nms_size, scores.shape[0]))
     masked_scores = jnp.where(valid, scores, -jnp.inf)
     _, cand = jax.lax.top_k(masked_scores, k)
     c_boxes = boxes[cand]
