@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--darknetWeights", default=None,
                    help="optional .weights warm start (convert.py parity)")
     p.add_argument("--warmupSteps", type=int, default=1000)
+    p.add_argument("--mosaic", type=float, default=0.0,
+                   help="per-image probability of 4-image mosaic "
+                        "augmentation (device-side; YOLOv4 README lists it "
+                        "unimplemented in the reference — new capability)")
     p.add_argument("--bf16", action="store_true")
     # training-health callbacks (yolo_v3/train.py:76-77 defaults)
     p.add_argument("--earlyStopPatience", type=int, default=10,
@@ -72,7 +76,7 @@ def main():
 
     pipeline = YoloDataPipeline(
         args.trainImagePath, args.trainData, args.classesFile,
-        args.batchSize, anchors, image_wh=image_wh,
+        args.batchSize, anchors, image_wh=image_wh, mosaic=args.mosaic,
     )
     model_cls = YoloV4 if args.version == "v4" else YoloV3
     iou_type = "ciou" if args.version == "v4" else "iou"

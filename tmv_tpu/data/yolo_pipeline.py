@@ -112,6 +112,7 @@ class YoloDataPipeline:
         sat: float = 1.5,
         val: float = 1.5,
         flip: bool = True,
+        mosaic: float = 0.0,
         max_boxes: int = 100,
         seed: int = 0,
         prefetch: int = 2,
@@ -125,6 +126,7 @@ class YoloDataPipeline:
         self.image_wh = image_wh
         self.image_random = image_random
         self.aug = dict(jitter=jitter, hue=hue, sat=sat, val=val, flip=flip)
+        self.mosaic = mosaic
         self.max_boxes = max_boxes
         self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
         self.key = jax.random.key(seed)
@@ -138,7 +140,15 @@ class YoloDataPipeline:
         aug = self.aug
         random_on = self.image_random
 
+        mosaic_prob = self.mosaic
+
         def batch_fn(images, boxes, classes, valid, key):
+            if random_on and mosaic_prob > 0:
+                from tmv_tpu.data.mosaic import mosaic_batch
+
+                key, k_m = jax.random.split(key)
+                images, boxes, classes, valid = mosaic_batch(
+                    images, boxes, classes, valid, k_m, prob=mosaic_prob)
             keys = jax.random.split(key, images.shape[0])
 
             def per_image(img, bxs, cls, vld, k):
