@@ -107,6 +107,35 @@ class BiFPNNode(nn.Module):
         ]
         if self.weight_method == "sum":
             fused = sum(resampled)
+        elif self.weight_method == "attn":
+            # softmax over per-input scalars (layers/fpn.py:93-100)
+            wsms = jnp.stack([
+                self.param(f"WSM_{i}", nn.initializers.ones, ())
+                for i in range(self.num_inputs)
+            ])
+            norm = jax.nn.softmax(wsms.astype(self.dtype))
+            fused = sum(r * norm[i] for i, r in enumerate(resampled))
+        elif self.weight_method == "channel_attn":
+            # per-channel softmax weights (layers/fpn.py:112-119)
+            wsms = jnp.stack([
+                self.param(f"WSM_{i}", nn.initializers.ones,
+                           (self.filters,))
+                for i in range(self.num_inputs)
+            ], axis=-1)  # (C, n_in)
+            norm = jax.nn.softmax(wsms.astype(self.dtype), axis=-1)
+            fused = sum(r * norm[:, i] for i, r in enumerate(resampled))
+        elif self.weight_method == "channel_fastattn":
+            # per-channel relu-free fast attention (layers/fpn.py:120-131;
+            # the reference keeps raw weights, as with scalar fastattn)
+            wsms = [
+                self.param(f"WSM_{i}", nn.initializers.ones,
+                           (self.filters,)).astype(self.dtype)
+                for i in range(self.num_inputs)
+            ]
+            wsum = sum(wsms)
+            fused = sum(
+                r * w / (wsum + 1e-4) for r, w in zip(resampled, wsms)
+            )
         else:  # raw-scalar fast attention (layers/bifpn.py:59-67)
             wsms = [
                 self.param(f"WSM_{i}", nn.initializers.ones, ())
