@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (~10 min
+# cold); cached reruns skip recompiling unchanged programs.
+_cache_dir = os.environ.get(
+    "TMV_TEST_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "tmv_test_jax_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -108,3 +108,56 @@ class TestVocVariant:
                  "groud_truth": [[10, 10, 30, 30, 0]],
                  "prediction": [[60, 60, 80, 80, 0, 0.9]]}]
         assert get_ap_voc(data, 0) == pytest.approx(0.0)
+
+
+class TestCocoMap:
+    """COCO-official evaluator (101-pt interpolation, mAP@[.5:.95])."""
+
+    def _data(self, preds, gts):
+        return [{"image_path": "a.jpg", "groud_truth": gts,
+                 "prediction": preds}]
+
+    def test_perfect_detection_ap1(self):
+        from tmv_tpu.ops.map_eval import get_ap_coco
+        gts = [[10, 10, 50, 50, 0]]
+        preds = [[10, 10, 50, 50, 0, 0.9]]
+        assert get_ap_coco(self._data(preds, gts), 0, 0.5) == 1.0
+
+    def test_fp_before_tp_halves_ap(self):
+        from tmv_tpu.ops.map_eval import get_ap_coco
+        gts = [[10, 10, 50, 50, 0]]
+        preds = [[100, 100, 140, 140, 0, 0.95],   # FP, higher score
+                 [10, 10, 50, 50, 0, 0.9]]        # TP
+        ap = get_ap_coco(self._data(preds, gts), 0, 0.5)
+        # precision at all recall levels is 0.5 (1 TP out of 2 preds)
+        assert ap == pytest.approx(0.5, abs=0.01)
+
+    def test_trailing_fp_does_not_lower_ap(self):
+        from tmv_tpu.ops.map_eval import get_ap_coco
+        gts = [[10, 10, 50, 50, 0]]
+        preds = [[10, 10, 50, 50, 0, 0.9],
+                 [100, 100, 140, 140, 0, 0.1]]
+        assert get_ap_coco(self._data(preds, gts), 0, 0.5) == 1.0
+
+    def test_no_gt_class_excluded_from_mean(self):
+        from tmv_tpu.ops.map_eval import get_ap_coco, get_map_coco
+        gts = [[10, 10, 50, 50, 0]]
+        preds = [[10, 10, 50, 50, 0, 0.9]]
+        data = self._data(preds, gts)
+        assert get_ap_coco(data, 1, 0.5) is None
+        # class 1 has no GT: mean over class 0 only (not dragged to 0.5)
+        assert get_map_coco(data, 2, threshs=[0.5]) == 1.0
+
+    def test_iou_sweep_maps_to_expected_fraction(self):
+        from tmv_tpu.ops.map_eval import get_map_coco
+        # pred/GT IoU = 32*40 / (40*40 + 40*40 - 32*40) = 2/3:
+        # TP for t in {.5,.55,.6,.65}, FP above → mAP = 4/10
+        gts = [[0, 0, 40, 40, 0]]
+        preds = [[8, 0, 48, 40, 0, 0.9]]
+        m = get_map_coco(self._data(preds, gts), 1)
+        assert m == pytest.approx(0.4, abs=0.01)
+
+    def test_no_predictions_ap0(self):
+        from tmv_tpu.ops.map_eval import get_ap_coco
+        gts = [[10, 10, 50, 50, 0]]
+        assert get_ap_coco(self._data([], gts), 0, 0.5) == 0.0

@@ -91,9 +91,8 @@ def get_ap(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> float:
     return _envelope_area(mrec, mpre)
 
 
-def get_ap_voc(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> float:
-    """Corrected VOC AP: proper axes and score-greedy TP matching."""
-    # score-greedy matching: each GT claimed once, best-IoU first
+def _greedy_rows(data: Sequence[Dict], class_id: int, thresh: float):
+    """Score-greedy TP/FP rows (tp_flag, score) + GT count for one class."""
     rows = []
     gt_num = 0
     for d in data:
@@ -125,12 +124,57 @@ def get_ap_voc(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> floa
                 rows.append((1.0, p[5]))
             else:
                 rows.append((0.0, p[5]))
+    return rows, gt_num
+
+
+def get_ap_voc(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> float:
+    """Corrected VOC AP: proper axes and score-greedy TP matching."""
+    rows, gt_num = _greedy_rows(data, class_id, thresh)
     tp = np.asarray(rows).reshape(-1, 2)
     tp = tp[np.argsort(tp[:, 1])[::-1], :]
     precision_list, recall_list = _precision_recall(tp, gt_num)
     mrec = np.concatenate(([0.0], recall_list, [1.0]))
     mpre = np.concatenate(([0.0], precision_list, [0.0]))
     return _envelope_area(mrec, mpre)
+
+
+def get_ap_coco(data: Sequence[Dict], class_id: int, thresh: float = 0.5):
+    """COCO-official AP at one IoU threshold: 101-point interpolated PR.
+
+    Returns None when the class has no ground truth (COCO excludes such
+    classes from the mean instead of scoring them 0).
+    """
+    rows, gt_num = _greedy_rows(data, class_id, thresh)
+    if gt_num == 0:
+        return None
+    if not rows:
+        return 0.0
+    tp = np.asarray(rows).reshape(-1, 2)
+    tp = tp[np.argsort(-tp[:, 1], kind="stable"), :]
+    precision, recall = _precision_recall(tp, gt_num)
+    # precision envelope (monotone non-increasing from the right)
+    pre = np.concatenate((precision, [0.0]))
+    for i in range(len(pre) - 2, -1, -1):
+        pre[i] = max(pre[i], pre[i + 1])
+    levels = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(recall, levels, side="left")
+    interp = np.where(idx < len(precision), pre[idx], 0.0)
+    return float(interp.mean())
+
+
+def get_map_coco(data: Sequence[Dict], class_num: int,
+                 threshs: Sequence[float] = None) -> float:
+    """COCO mAP@[.5:.95] (10 IoU thresholds, 101-pt interpolation), mean
+    over classes that have ground truth."""
+    if threshs is None:
+        threshs = np.arange(0.5, 0.955, 0.05)
+    aps = []
+    for t in threshs:
+        for c in range(class_num):
+            ap = get_ap_coco(data, c, float(t))
+            if ap is not None:
+                aps.append(ap)
+    return float(np.mean(aps)) if aps else 0.0
 
 
 def get_map(data: Sequence[Dict], class_num: int, thresh: float = 0.5,
