@@ -131,6 +131,7 @@ class YoloDataPipeline:
         self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
         self.key = jax.random.key(seed)
         self.prefetch = prefetch
+        self._pool = None
         self._build_device_fns()
 
     def _build_device_fns(self):
@@ -204,22 +205,59 @@ class YoloDataPipeline:
         b, c, v = pad_labels(boxes, label["classes"], self.max_boxes)
         return np.asarray(im), b, c, v
 
+    def _stage_batch(self, labels):
+        """Host: stage a whole batch, fanning JPEG decodes over threads
+        (the native decoder and PIL both release the GIL)."""
+        if self._pool is None:
+            staged = [self._stage_one(lb) for lb in labels]
+        else:
+            staged = list(self._pool.map(self._stage_one, labels))
+        imgs, boxes, classes, valid = zip(*staged)
+        return (np.stack(imgs), np.stack(boxes), np.stack(classes),
+                np.stack(valid))
+
     def __iter__(self) -> Iterator[Dict]:
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         it = iter(self.sampler)
-        while True:
-            imgs, boxes, classes, valid = [], [], [], []
-            for _ in range(self.batch_size):
-                i, b, c, v = self._stage_one(next(it))
-                imgs.append(i)
-                boxes.append(b)
-                classes.append(c)
-                valid.append(v)
+        self._pool = (ThreadPoolExecutor(min(8, self.batch_size))
+                      if self.batch_size > 1 else None)
+
+        def produce(q: "queue.Queue", stop: threading.Event):
+            try:
+                while not stop.is_set():
+                    labels = [next(it) for _ in range(self.batch_size)]
+                    q.put(self._stage_batch(labels))
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        if self.prefetch > 0:
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
+            t = threading.Thread(target=produce, args=(q, stop), daemon=True)
+            t.start()
+
+            def staged_batches():
+                while True:
+                    item = q.get()
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+        else:
+            def staged_batches():
+                while True:
+                    labels = [next(it) for _ in range(self.batch_size)]
+                    yield self._stage_batch(labels)
+
+        for imgs, boxes, classes, valid in staged_batches():
             self.key, sub = jax.random.split(self.key)
             images01, targets = self._batch_fn(
-                jnp.asarray(np.stack(imgs)),
-                jnp.asarray(np.stack(boxes)),
-                jnp.asarray(np.stack(classes)),
-                jnp.asarray(np.stack(valid)),
+                jnp.asarray(imgs),
+                jnp.asarray(boxes),
+                jnp.asarray(classes),
+                jnp.asarray(valid),
                 sub,
             )
             yield {"image": images01, "targets": targets}
