@@ -95,15 +95,22 @@ class TestEfficientDetPipelineE2E:
             str(detection_dataset / "classes.txt"),
             batch_size=2, anchors=anchors, num_classes=3, image_size=128,
         )
-        batch = next(iter(p))
+        it = iter(p)
+        batch = next(it)
         assert batch["image"].shape == (2, 128, 128, 3)
         assert len(batch["boxes"]) == 5
         assert batch["boxes"][0].shape == (2, 16, 16, 9, 4)
         assert batch["classes"][0].shape == (2, 16, 16, 9, 3)
-        # positives exist and map to the shifted (background=0) class ids
+        # positives exist and map to the shifted (background=0) class ids;
+        # a single augmented batch can legitimately have none (boxes pushed
+        # out of frame), so scan a few
         pos_classes = []
-        for ct, m in zip(batch["classes"], batch["masks"]):
-            ct, m = np.asarray(ct), np.asarray(m[..., 0])
-            if m.any():
-                pos_classes.extend(ct[m].argmax(-1).tolist())
+        for _ in range(4):
+            for ct, m in zip(batch["classes"], batch["masks"]):
+                ct, m = np.asarray(ct), np.asarray(m[..., 0])
+                if m.any():
+                    pos_classes.extend(ct[m].argmax(-1).tolist())
+            if pos_classes:
+                break
+            batch = next(it)
         assert pos_classes and all(c in (1, 2) for c in pos_classes)

@@ -54,19 +54,24 @@ class EfficientDetPipeline:
 
         self._targets_fn = jax.jit(targets_fn)
 
-    def _get_random_data(self, label: Dict):
+    def _get_random_data(self, label: Dict, seed: int = None):
+        """``seed`` gives the item its own RNGs so staging can run on a
+        thread pool (shared Random/Generator are not thread-safe)."""
+        rng = self._rng if seed is None else random.Random(seed)
+        np_rng = (self._np_rng if seed is None
+                  else np.random.default_rng(seed))
         img = image_helper.bytes_to_image(
             open(label["image_path"], "rb").read())
         boxes = np.asarray(label["boxes"], np.float64).reshape(-1, 4)  # xyxy
         if self.augment:
-            ksize = self._rng.randint(0, 4)
+            ksize = rng.randint(0, 4)
             if ksize > 0:
                 img = image_helper.blur(img, ksize)
             # affine scale + offset (angles disabled in the reference)
-            sx = self._rng.random() * 1.5 + 0.5
-            sy = self._rng.random() * 1.5 + 0.5
-            dx = self._rng.random() * 90 - 45
-            dy = self._rng.random() * 90 - 45
+            sx = rng.random() * 1.5 + 0.5
+            sy = rng.random() * 1.5 + 0.5
+            dx = rng.random() * 90 - 45
+            dy = rng.random() * 90 - 45
             h, w = img.shape[:2]
             from PIL import Image
 
@@ -80,7 +85,7 @@ class EfficientDetPipeline:
             pts = pts * [sx, sy] + [
                 dx + w / 2 * (1 - sx), dy + h / 2 * (1 - sy)]
             boxes = pts.reshape(-1, 4)
-            img = image_helper.random_noise(img, self._np_rng)
+            img = image_helper.random_noise(img, np_rng)
         img, pts, _ = image_helper.proportional_resize(
             img, (self.image_size, self.image_size),
             points=boxes.reshape(-1, 2))
@@ -97,11 +102,21 @@ class EfficientDetPipeline:
         return img.astype(np.float32) / 255.0, boxes, classes
 
     def __iter__(self) -> Iterator[Dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
         it = iter(self.sampler)
+        pool = (ThreadPoolExecutor(min(8, self.batch_size))
+                if self.batch_size > 1 else None)
         while True:
+            items = [(next(it), self._rng.getrandbits(32))
+                     for _ in range(self.batch_size)]
+            if pool is None:
+                staged = [self._get_random_data(lb, sd) for lb, sd in items]
+            else:
+                staged = list(pool.map(
+                    lambda a: self._get_random_data(*a), items))
             imgs, boxes_l, classes_l, valid_l, raw = [], [], [], [], []
-            for _ in range(self.batch_size):
-                img, boxes, classes = self._get_random_data(next(it))
+            for img, boxes, classes in staged:
                 b, c, v = pad_labels(boxes, classes.tolist(), self.max_boxes)
                 imgs.append(img)
                 boxes_l.append(b)
