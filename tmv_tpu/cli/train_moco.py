@@ -99,6 +99,53 @@ def main():
         print(f"exported key tower to {args.exportPath}")
         return
 
+    if args.mode == "finetune":
+        # train_object_detection.py parity: detection fine-tune from the
+        # exported MoCo key tower, grafting every matching-shape leaf
+        # (output convs differ when classes_num changes — fresh init)
+        from tmv_tpu.convert.graft import graft_params
+        from tmv_tpu.core.train_state import make_train_step
+        from tmv_tpu.data.loaders import load_anchors
+        from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
+        from tmv_tpu.models.detector_harness import make_yolo_loss_fn
+
+        anchors = load_anchors(args.anchorsFile)
+        pipeline = YoloDataPipeline(
+            args.trainImagePath, args.trainData, args.classesFile,
+            args.batchSize, anchors, image_wh=(s, s))
+        det_model = ResNetYoloV3(
+            out_filters=3 * (5 + pipeline.classes_num))
+        det_vars = det_model.init(jax.random.key(0), x0, train=False)
+
+        moco_template = {"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]}
+        restored = CheckpointManager(args.exportPath).restore(moco_template)
+        params, copied, skipped = graft_params(
+            det_vars["params"], restored["params"])
+        stats, _, _ = graft_params(
+            det_vars["batch_stats"], restored["batch_stats"])
+        print(f"grafted {len(copied)} tensors from {args.exportPath}; "
+              f"{len(skipped)} shape-mismatched (fresh init)")
+
+        tx = optax.adam(args.lr)
+        state = TrainState.create(
+            jax.tree.map(jnp.asarray, params),
+            jax.tree.map(jnp.asarray, stats), tx)
+        mgr = CheckpointManager(args.modelPath)
+        state = mgr.restore(state)
+        loss_fn = make_yolo_loss_fn(det_model, (s, s), anchors,
+                                    iou_type="ciou")
+        step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
+        it = iter(pipeline)
+        for i in range(int(state.step), args.steps):
+            state, metrics = step_fn(state, next(it), jax.random.key(i))
+            if i % 50 == 0:
+                print(f"step {i} loss {float(metrics['loss']):.4f}")
+            if (i + 1) % 1000 == 0:
+                mgr.save(int(state.step), state)
+        mgr.save(int(state.step), state, force=True)
+        return
+
     heads = model.apply(variables, x0, train=False)
     feat_dim = sum(int(np.prod(h.shape[1:])) for h in heads)
     print(f"feature dim {feat_dim}")
