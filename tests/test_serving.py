@@ -96,6 +96,130 @@ class TestCliImports:
         import tmv_tpu.cli.serve
 
 
+class TestMicroBatcher:
+    """Micro-batching queue (`serving/batching.py`): concurrent requests
+    share one batched predict call; results route back per-request."""
+
+    def _make_batcher(self, max_batch=8, max_wait_ms=1.0, lock=None):
+        from tmv_tpu.serving.batching import MicroBatcher
+
+        def batched_predict(_variables, images):
+            if lock is not None:
+                with lock:
+                    pass
+            # per-image signature values so routing errors are detectable
+            return (images.sum(axis=(1, 2, 3)), images[:, 0, 0, 0])
+
+        return MicroBatcher(batched_predict, {}, max_batch=max_batch,
+                            max_wait_ms=max_wait_ms)
+
+    def test_results_route_to_the_right_request(self):
+        import threading
+
+        lock = threading.Lock()
+        batcher = self._make_batcher(lock=lock)
+        images = [np.full((4, 4, 3), i, np.float32) for i in range(8)]
+        results = [None] * 8
+        # hold the predictor so later requests pile up into one batch
+        lock.acquire()
+
+        def call(i):
+            results[i] = batcher.predict_one(images[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        import time
+
+        time.sleep(0.3)  # let every request enqueue while blocked
+        lock.release()
+        for t in threads:
+            t.join(timeout=10)
+        for i, (total, corner) in enumerate(results):
+            assert total == pytest.approx(4 * 4 * 3 * i)
+            assert corner == pytest.approx(float(i))
+        assert sum(batcher.batch_sizes) == 8
+        assert len(batcher.batch_sizes) <= 4  # batching actually happened
+        batcher.close()
+
+    def test_as_predict_fn_adapter(self):
+        batcher = self._make_batcher()
+        out = batcher.as_predict_fn()({}, np.ones((1, 2, 2, 3), np.float32))
+        assert out[0] == pytest.approx(12.0)
+        batcher.close()
+
+    def test_predictor_error_propagates(self):
+        from tmv_tpu.serving.batching import MicroBatcher
+
+        def boom(_v, _images):
+            raise ValueError("kernel on fire")
+
+        batcher = MicroBatcher(boom, {}, max_batch=2)
+        with pytest.raises(ValueError, match="kernel on fire"):
+            batcher.predict_one(np.zeros((2, 2, 3), np.float32))
+        batcher.close()
+
+
+class TestBatchedPredictEquivalence:
+    """`make_yolo_predict_batched` slices must match the single-image
+    predictor exactly (same forward, vmapped decode+NMS)."""
+
+    class _StubDetector:
+        """Deterministic per-image 'model': images → 3-scale YOLO heads via
+        pooling/elementwise ops only, so batched and single forwards are
+        numerically identical (a real conv net's batch-1 vs batch-N XLA
+        layouts differ in the last float digits, which random-init garbage
+        activations then amplify — that would test nothing)."""
+
+        def __init__(self, size, classes_num):
+            self.size = size
+            self.classes_num = classes_num
+
+        def apply(self, _variables, images, train=False):
+            heads = []
+            for grid in (self.size // 32, self.size // 16, self.size // 8):
+                cell = self.size // grid
+                b = images.shape[0]
+                x = images.reshape(b, grid, cell, grid, cell, 3)
+                x = x.mean(axis=(2, 4))  # (B, g, g, 3)
+                feats = 3 * (5 + self.classes_num)
+                chans = [jnp.tanh(x.mean(-1) * (0.15 * c - 1.0))
+                         for c in range(feats)]
+                h = jnp.stack(chans, axis=-1).reshape(
+                    b, grid, grid, 3, 5 + self.classes_num)
+                heads.append(h)
+            return heads
+
+    def test_matches_single_image_predict(self):
+        from tmv_tpu.models.detector_harness import (
+            make_yolo_predict, make_yolo_predict_batched,
+        )
+
+        size = 64
+        anchors = np.array(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = self._StubDetector(size, 3)
+        kw = dict(confidence_thresh=0.0, scores_thresh=0.0, iou_thresh=0.5,
+                  max_output_size=8)
+        single = make_yolo_predict(model, (size, size), anchors, 3, **kw)
+        batched = make_yolo_predict_batched(
+            model, (size, size), anchors, 3, **kw)
+
+        rng = np.random.default_rng(7)
+        images = rng.uniform(size=(3, size, size, 3)).astype(np.float32)
+        b_out = [np.asarray(o)
+                 for o in batched({}, jnp.asarray(images))]
+        assert np.asarray(b_out[3]).any(), "stub produced no detections"
+        for i in range(3):
+            s_out = [np.asarray(o)
+                     for o in single({}, jnp.asarray(images[i:i + 1]))]
+            for got, want in zip((o[i] for o in b_out), s_out):
+                np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestServingRealModel:
     """End-to-end through a real tiny YoloV4 predictor (VERDICT r1 weak #6):
     catches letterbox/un-letterbox drift that the stub contract test can't."""

@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--batch", type=int, default=1,
+                   help="micro-batch capacity (>1 enables the batching "
+                        "queue + threaded server)")
+    p.add_argument("--batchWaitMs", type=float, default=4.0)
     return p.parse_args()
 
 
@@ -55,17 +59,32 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     iou_type = "diou" if args.version == "v4" else "iou"
-    predict_fn = make_yolo_predict(
-        model, image_wh, anchors, classes_num,
-        confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
-        iou_type=iou_type,
-    )
-    # warm the jit cache before accepting traffic (import-time load parity)
-    predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
+    if args.batch > 1:
+        from tmv_tpu.models.detector_harness import make_yolo_predict_batched
+        from tmv_tpu.serving.batching import MicroBatcher
+
+        batched = make_yolo_predict_batched(
+            model, image_wh, anchors, classes_num,
+            confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
+            iou_type=iou_type,
+        )
+        batched(variables,
+                jnp.zeros((args.batch, image_wh[1], image_wh[0], 3)))
+        batcher = MicroBatcher(batched, variables, max_batch=args.batch,
+                               max_wait_ms=args.batchWaitMs)
+        predict_fn = batcher.as_predict_fn()
+    else:
+        predict_fn = make_yolo_predict(
+            model, image_wh, anchors, classes_num,
+            confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
+            iou_type=iou_type,
+        )
+        # warm the jit cache before accepting traffic (import-time parity)
+        predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
     print("predictor warm")
 
     service = DetectionService(predict_fn, variables, classes_name, image_wh)
-    run_server(service, args.host, args.port)
+    run_server(service, args.host, args.port, threaded=args.batch > 1)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,38 @@ def make_yolo_predict(model, image_wh, anchors_wh, classes_num: int,
     return predict
 
 
+def make_yolo_predict_batched(model, image_wh, anchors_wh, classes_num: int,
+                              confidence_thresh: float = 0.5,
+                              scores_thresh: float = 0.3,
+                              iou_thresh: float = 0.5,
+                              iou_type: str = "iou",
+                              max_output_size: int = 500):
+    """Batched predictor for the serving micro-batch queue: (B, H, W, 3)
+    float images → per-image padded (boxes, classes_id, scores, valid) with
+    a leading batch axis.  Same semantics as ``make_yolo_predict`` per
+    image (the forward is shared; decode+NMS is vmapped)."""
+
+    anchors = jnp.asarray(anchors_wh, jnp.float32)
+
+    def nms_one(heads_one):
+        boxes, ids, scores, _classes, _conf, valid = yolo_ops.nms_boxes(
+            heads_one, anchors, image_wh, classes_num,
+            confidence_thresh=confidence_thresh,
+            scores_thresh=scores_thresh,
+            iou_thresh=iou_thresh,
+            iou_type=iou_type,
+            max_output_size=max_output_size,
+        )
+        return boxes, ids, scores, valid
+
+    @jax.jit
+    def predict(variables, images):
+        heads = model.apply(variables, images, train=False)
+        return jax.vmap(nms_one)(list(heads))
+
+    return predict
+
+
 def ground_truth_from_targets(y_true, classes_num: int):
     """Extract `[x1, y1, x2, y2, class_id]` rows from grid targets.
 

@@ -116,9 +116,20 @@ def create_app(service: DetectionService):
 
 
 def run_server(service: DetectionService, host: str = "0.0.0.0",
-               port: int = 8000):
-    from wsgiref.simple_server import make_server
+               port: int = 8000, threaded: bool = False):
+    """``threaded=True`` serves each request on its own thread — required
+    for the micro-batching queue (``serving/batching.py``) to ever see more
+    than one in-flight request from a single dev server."""
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server
 
-    srv = make_server(host, port, create_app(service))
-    print(f"serving on http://{host}:{port}")
+    cls = WSGIServer
+    if threaded:
+        class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+            daemon_threads = True
+
+        cls = ThreadingWSGIServer
+    srv = make_server(host, port, create_app(service), server_class=cls)
+    print(f"serving on http://{host}:{port}"
+          + (" (threaded)" if threaded else ""))
     srv.serve_forever()
