@@ -1,10 +1,11 @@
 """Breakdown of the D0 train-step cost (VERDICT r1 weak #5).
 
 Measures, per batch size: eval forward, train-mode forward (BN batch
-stats), and the full train step, all bf16.  Timing: async-dispatch N
-dependent iterations (state/image carry the data dependency) and
-host-fetch once at the end — dispatch overlaps compute, so wall/N is the
-per-iteration device time without compiling a chained-loop program.
+stats), and the full train step, all bf16.  Timing uses the slope method
+(see ``bench.py``): k data-dependent chained executions inside one jit
+with k a *traced* loop bound (single compile), host-fetch at the end,
+difference two k values — the axon backend's ~30 ms RPC floor and
+unreliable ``block_until_ready`` cancel out.
 """
 import os
 import sys
@@ -12,6 +13,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
+
+K_SMALL, K_LARGE = 1, 5
+
+
+def slope_time(run, reps=3):
+    times = {}
+    for k in (K_SMALL, K_LARGE):
+        _ = run(k)  # warm/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = run(k)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
 
 
 def main():
@@ -35,19 +51,6 @@ def main():
                       cfg.num_scales, cfg.aspect_ratios, cfg.anchor_scale)
     rng = np.random.default_rng(0)
 
-    def timed_loop(run_once, init_carry, n=30):
-        carry = run_once(init_carry)  # compile
-        _ = jax.block_until_ready(carry)
-        carry = init_carry
-        t0 = time.perf_counter()
-        for _ in range(n):
-            carry = run_once(carry)
-        # host fetch = true sync on axon
-        leaf = jax.tree_util.tree_leaves(carry)[0]
-        _ = np.asarray(leaf.astype(jnp.float32) if hasattr(leaf, "astype")
-                       else leaf)
-        return (time.perf_counter() - t0) / n
-
     for batch in (8, 32):
         x = jnp.asarray(rng.uniform(size=(batch, size, size, 3))
                         .astype(np.float32))
@@ -60,18 +63,24 @@ def main():
         batch_d = {"image": x, "boxes": bt, "classes": ct, "masks": mt}
 
         @jax.jit
-        def eval_once(v, img):
-            boxes, _ = model.apply(v, img, train=False)
-            s = sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
-            return img + (s * 1e-12).astype(img.dtype)
+        def eval_chain(v, img, k):
+            def body(i, carry):
+                boxes, _ = model.apply(v, carry, train=False)
+                s = sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
+                return carry + (s * 1e-12).astype(carry.dtype)
+            out = jax.lax.fori_loop(0, k, body, img)
+            return jnp.sum(out.astype(jnp.float32))
 
         @jax.jit
-        def train_fwd_once(v, img):
-            (boxes, _), _ = model.apply(
-                v, img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.key(0)})
-            s = sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
-            return img + (s * 1e-12).astype(img.dtype)
+        def train_fwd_chain(v, img, k):
+            def body(i, carry):
+                (boxes, _), _ = model.apply(
+                    v, carry, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(0)})
+                s = sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
+                return carry + (s * 1e-12).astype(carry.dtype)
+            out = jax.lax.fori_loop(0, k, body, img)
+            return jnp.sum(out.astype(jnp.float32))
 
         loss_fn = make_efficientdet_loss_fn(model)
         tx = optax.sgd(1e-3, momentum=0.9)
@@ -80,13 +89,20 @@ def main():
         train_step = make_train_step(loss_fn, tx, clip_global_norm=10.0)
 
         @jax.jit
-        def step_once(st, b):
-            st2, _ = train_step(st, b, jax.random.key(0))
-            return st2
+        def step_chain(st, b, k):
+            def body(i, carry):
+                st2, _ = train_step(carry, b, jax.random.key(0))
+                return st2
+            out = jax.lax.fori_loop(0, k, body, st)
+            return jnp.sum(
+                jax.tree_util.tree_leaves(out.params)[0].astype(jnp.float32))
 
-        t_eval = timed_loop(lambda img: eval_once(variables, img), x)
-        t_tfwd = timed_loop(lambda img: train_fwd_once(variables, img), x)
-        t_step = timed_loop(lambda st: step_once(st, batch_d), state0, n=20)
+        t_eval = slope_time(
+            lambda k: np.asarray(eval_chain(variables, x, k)))
+        t_tfwd = slope_time(
+            lambda k: np.asarray(train_fwd_chain(variables, x, k)))
+        t_step = slope_time(
+            lambda k: np.asarray(step_chain(state0, batch_d, k)))
         print(f"b{batch}: eval_fwd {t_eval*1e3:.2f} ms ({batch/t_eval:.0f} i/s)"
               f" | train_fwd {t_tfwd*1e3:.2f} ms ({batch/t_tfwd:.0f} i/s)"
               f" | train_step {t_step*1e3:.2f} ms ({batch/t_step:.0f} i/s)",
