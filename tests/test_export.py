@@ -1,0 +1,126 @@
+"""AOT export (jax.export → StableHLO artifact) round-trip tests.
+
+The artifact must reproduce the live predictor's outputs exactly and drop
+into ``DetectionService`` unchanged (serving without the model zoo).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tmv_tpu.serving.app import DetectionService
+from tmv_tpu.serving.export import (
+    export_predictor,
+    load_predictor,
+)
+
+
+def assert_predictions_equal(ref, out, rtol=1e-6, atol=1e-6):
+    """Compare (boxes, ids, scores, valid) only on the valid rows — the
+    padded slots hold whatever garbage the NMS masking left behind, and
+    that garbage may legitimately differ between lowerings."""
+    rb, ri, rs, rv = (np.asarray(t) for t in ref)
+    ob, oi, os_, ov = (np.asarray(t) for t in out)
+    np.testing.assert_array_equal(rv, ov)
+    v = rv.reshape(-1)
+    np.testing.assert_allclose(rb.reshape(-1, 4)[v], ob.reshape(-1, 4)[v],
+                               rtol=rtol, atol=atol)
+    np.testing.assert_array_equal(ri.reshape(-1)[v], oi.reshape(-1)[v])
+    np.testing.assert_allclose(rs.reshape(-1)[v], os_.reshape(-1)[v],
+                               rtol=rtol, atol=atol)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from tmv_tpu.models.detector_harness import make_yolo_predict
+    from tmv_tpu.models.yolo_v3 import YoloV3
+
+    size = 64
+    anchors = np.array(
+        [[[116, 90], [156, 198], [373, 326]],
+         [[30, 61], [62, 45], [59, 119]],
+         [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+    model = YoloV3(classes_num=3)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
+    # Random-init heads emit tw≈70+, and exp(tw) amplifies lowering-level
+    # fp noise to visible relative error; scale weights down so decoded
+    # boxes stay in a numerically meaningful range.
+    variables = {"params": jax.tree.map(lambda x: x * 0.2,
+                                        variables["params"]),
+                 "batch_stats": variables["batch_stats"]}
+    predict = make_yolo_predict(
+        model, (size, size), anchors, 3, confidence_thresh=0.0,
+        scores_thresh=0.0, iou_thresh=0.5, max_output_size=16)
+    img = np.random.default_rng(0).uniform(
+        size=(1, size, size, 3)).astype(np.float32)
+    return predict, variables, img
+
+
+class TestExport:
+    def test_round_trip_unbaked(self, predictor, tmp_path):
+        predict, variables, img = predictor
+        ref = predict(variables, img)
+
+        path = str(tmp_path / "yolo.tmvx")
+        export_predictor(predict, variables, img, path=path,
+                         platforms=("cpu",))
+        loaded = load_predictor(path)
+        out = loaded(variables, img)
+        assert_predictions_equal(ref, out)
+
+    def test_round_trip_baked_in_memory(self, predictor):
+        predict, variables, img = predictor
+        ref = predict(variables, img)
+
+        blob = export_predictor(predict, variables, img,
+                                bake_variables=True, platforms=("cpu",))
+        loaded = load_predictor(blob)
+        # baked artifact ignores the variables argument
+        out = loaded(None, img)
+        assert_predictions_equal(ref, out)
+
+    def test_baked_artifact_drives_detection_service(self, predictor):
+        predict, variables, img = predictor
+        size = img.shape[1]
+        service_live = DetectionService(predict, variables, ["a", "b", "c"],
+                                        image_wh=(size, size))
+        blob = export_predictor(predict, variables, img,
+                                bake_variables=True, platforms=("cpu",))
+        service_aot = DetectionService(load_predictor(blob), None,
+                                       ["a", "b", "c"],
+                                       image_wh=(size, size))
+        raw = np.asarray(
+            np.random.default_rng(1).integers(0, 255, (48, 96, 3)), np.uint8)
+        b1, i1, s1, _ = service_live.predict_image(raw)
+        b2, i2, s2, _ = service_aot.predict_image(raw)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    def test_multi_platform_lowering(self, predictor):
+        """tpu+cpu lowering from a CPU process must produce one artifact."""
+        predict, variables, img = predictor
+        blob = export_predictor(predict, variables, img,
+                                platforms=("tpu", "cpu"))
+        loaded = load_predictor(blob)
+        out = loaded(variables, img)
+        ref = predict(variables, img)
+        assert_predictions_equal(ref, out)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        import io
+        import tarfile
+
+        path = str(tmp_path / "bad.tmvx")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            info = tarfile.TarInfo("MAGIC")
+            data = b"something-else"
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        with pytest.raises(ValueError, match="magic"):
+            load_predictor(path)

@@ -69,3 +69,60 @@ class TestDataParallel:
         mesh = create_mesh(8, ("data",))
         sharded = shard_batch(batch, mesh)
         assert len(sharded["image"].sharding.device_set) == 8
+
+
+class TestSpatialParallel:
+    """2-D (data × space) mesh: GSPMD halo exchange must be exact."""
+
+    def test_forward_matches_single_device(self, setup):
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        model, state, step, batch = setup
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def fwd(v, x):
+            return model.apply(v, x, train=False)
+
+        ref = jax.jit(fwd)(variables, batch["image"])
+
+        sp = SpatialDataParallel(data=2, space=4)
+        assert sp.mesh.devices.shape == (2, 4)
+        sharded_fwd = sp.wrap_forward(fwd, batch["image"])
+        out = sharded_fwd(sp.put_state(variables),
+                          sp.put_batch(batch)["image"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_train_step_matches_single_device(self, setup):
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        model, state, step, batch = setup
+        s1, m1 = jax.jit(step)(state, batch, jax.random.key(0))
+
+        sp = SpatialDataParallel(data=2, space=4)
+        sp_step = sp.wrap_step(step, batch)
+        s2, m2 = sp_step(sp.put_state(state), sp.put_batch(batch),
+                         sp.put_rng(jax.random.key(0)))
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_image_sharded_over_height(self, setup):
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        model, state, step, batch = setup
+        sp = SpatialDataParallel(data=2, space=4)
+        img = sp.put_batch(batch)["image"]
+        assert len(img.sharding.device_set) == 8
+        # each device holds a (batch/2, H/4) tile
+        shard_shape = img.sharding.shard_shape(img.shape)
+        assert shard_shape[0] == batch["image"].shape[0] // 2
+        assert shard_shape[1] == batch["image"].shape[1] // 4
+        # non-spatial leaves shard over data only
+        tgt = sp.put_batch(batch)["target"]
+        assert tgt.sharding.shard_shape(tgt.shape)[1] == tgt.shape[1] // 4

@@ -1,0 +1,88 @@
+"""Export a warm detector predictor to a StableHLO serving artifact.
+
+The reference deploys by importing the training codebase into every uWSGI
+worker and rebuilding the model (`views/object_detection.py:13-37`).  This
+CLI bakes the whole predict path (forward + decode + class-aware NMS) into
+one `.tmvx` artifact instead; `cli/serve.py --artifact` serves it without
+touching the model zoo.
+
+Usage:
+    python -m tmv_tpu.cli.export_model --modelPath ./data/yolo_weights \
+        --classesFile ./data/classes.txt --anchorsFile ./data/anchors.txt \
+        --out model.tmvx
+"""
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modelPath", default=None,
+                   help="checkpoint dir (omit for random init, e.g. smoke "
+                        "tests)")
+    p.add_argument("--classesFile", required=True)
+    p.add_argument("--anchorsFile", required=True)
+    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--imageSize", type=int, default=416)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--out", required=True)
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--confidenceThresh", type=float, default=0.5)
+    p.add_argument("--scoresThresh", type=float, default=0.2)
+    p.add_argument("--iouThresh", type=float, default=0.5)
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tmv_tpu.data.loaders import load_anchors, load_classes
+    from tmv_tpu.models.detector_harness import make_yolo_predict
+    from tmv_tpu.models.yolo_v3 import YoloV3
+    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.serving.export import export_predictor
+
+    args = parse_args()
+    anchors = load_anchors(args.anchorsFile)
+    classes_name, classes_num = load_classes(args.classesFile)
+    image_wh = (args.imageSize, args.imageSize)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model_cls = YoloV4 if args.version == "v4" else YoloV3
+    model = model_cls(classes_num=classes_num, dtype=dtype)
+
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    if args.modelPath:
+        import optax
+
+        from tmv_tpu.core.checkpoint import CheckpointManager
+        from tmv_tpu.core.train_state import TrainState
+
+        state = TrainState.create(
+            variables["params"], variables["batch_stats"], optax.sgd(1e-3))
+        state = CheckpointManager(args.modelPath).restore(state)
+        print(f"checkpoint at step {int(state.step)}")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+    iou_type = "diou" if args.version == "v4" else "iou"
+    predict = make_yolo_predict(
+        model, image_wh, anchors, classes_num,
+        confidence_thresh=args.confidenceThresh,
+        scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
+        iou_type=iou_type,
+    )
+    example = np.zeros((1, image_wh[1], image_wh[0], 3), np.float32)
+    blob = export_predictor(
+        predict, variables, example, path=args.out, bake_variables=True,
+        platforms=tuple(args.platforms.split(",")),
+    )
+    print(f"wrote {args.out}: {len(blob)/1e6:.2f} MB "
+          f"(classes={classes_num}, {args.version} @{args.imageSize})")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,26 @@ def parse_args():
                    help="micro-batch capacity (>1 enables the batching "
                         "queue + threaded server)")
     p.add_argument("--batchWaitMs", type=float, default=4.0)
+    p.add_argument("--artifact", default=None,
+                   help="serve a .tmvx export (cli/export_model.py) — "
+                        "skips model build + checkpoint load")
     return p.parse_args()
+
+
+def serve_artifact(args):
+    import jax.numpy as jnp
+
+    from tmv_tpu.data.loaders import load_classes
+    from tmv_tpu.serving.app import DetectionService, run_server
+    from tmv_tpu.serving.export import load_predictor
+
+    classes_name, _ = load_classes(args.classesFile)
+    image_wh = (args.imageSize, args.imageSize)
+    predict_fn = load_predictor(args.artifact)
+    predict_fn(None, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
+    print("artifact predictor warm")
+    service = DetectionService(predict_fn, None, classes_name, image_wh)
+    run_server(service, args.host, args.port)
 
 
 def main():
@@ -42,6 +61,9 @@ def main():
     from tmv_tpu.serving.app import DetectionService, run_server
 
     args = parse_args()
+    if args.artifact:
+        serve_artifact(args)
+        return
     anchors = load_anchors(args.anchorsFile)
     classes_name, classes_num = load_classes(args.classesFile)
     image_wh = (args.imageSize, args.imageSize)

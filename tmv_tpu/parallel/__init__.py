@@ -3,3 +3,7 @@ from tmv_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from tmv_tpu.parallel.spatial import (  # noqa: F401
+    SpatialDataParallel,
+    spatial_spec,
+)
