@@ -1,0 +1,195 @@
+"""Dataset mAP evaluation CLI for trained detectors.
+
+The reference computes val_mAP only *inside* `model.fit` — per-batch mAP
+via ``tf.numpy_function`` averaged by Keras (`yolo_v3/model.py:229-258`,
+`efficientdet_net_train.py:135-169`); there is no standalone "evaluate a
+checkpoint on a labeled set" entry point.  This CLI adds one for both
+detector families:
+
+- ``--mode batch`` (default) reproduces the reference semantics exactly:
+  per-image mAP with the quirky evaluator, averaged over the set.
+- ``--mode global`` accumulates all images into one PR curve per class —
+  the statistically standard evaluation — with ``--variant
+  reference|voc|coco`` selecting the AP integrator
+  (`ops/map_eval.py::get_ap{,_voc,_coco}`).
+
+Usage:
+    python -m tmv_tpu.cli.eval_map --family yolo --version v4 \
+        --imagePath imgs/ --labelFile labels.txt --classesFile classes.txt \
+        --anchorsFile anchors.txt --modelPath ./weights --imageSize 416
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--family", default="yolo",
+                   choices=["yolo", "efficientdet"])
+    p.add_argument("--version", default="v4", choices=["v3", "v4"],
+                   help="yolo family version")
+    p.add_argument("--modelName", default="efficientdet-d0")
+    p.add_argument("--imagePath", required=True)
+    p.add_argument("--labelFile", required=True)
+    p.add_argument("--classesFile", required=True)
+    p.add_argument("--anchorsFile", default=None,
+                   help="required for --family yolo")
+    p.add_argument("--modelPath", default=None,
+                   help="checkpoint dir (omit = random init, smoke only)")
+    p.add_argument("--imageSize", type=int, default=416)
+    p.add_argument("--maxImages", type=int, default=0,
+                   help="cap evaluated images (0 = whole set once)")
+    p.add_argument("--mode", default="batch", choices=["batch", "global"])
+    p.add_argument("--variant", default="reference",
+                   choices=["reference", "voc", "coco"])
+    p.add_argument("--thresh", type=float, default=0.5,
+                   help="IoU match threshold (non-coco variants)")
+    p.add_argument("--confidenceThresh", type=float, default=0.5)
+    p.add_argument("--scoresThresh", type=float, default=0.2)
+    p.add_argument("--iouThresh", type=float, default=0.5)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args()
+
+
+def _restore_variables(args, model, x0):
+    import jax
+    import optax
+
+    from tmv_tpu.core.train_state import TrainState
+
+    variables = model.init(jax.random.key(0), x0, train=False)
+    if args.modelPath:
+        from tmv_tpu.core.checkpoint import CheckpointManager
+
+        state = TrainState.create(
+            variables["params"], variables["batch_stats"], optax.sgd(1e-3))
+        state = CheckpointManager(args.modelPath).restore(state)
+        print(f"checkpoint at step {int(state.step)}")
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    return variables
+
+
+def eval_yolo(args):
+    import jax.numpy as jnp
+
+    from tmv_tpu.data.loaders import load_anchors
+    from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
+    from tmv_tpu.models.detector_harness import (
+        ground_truth_from_targets,
+        make_yolo_predict,
+    )
+    from tmv_tpu.models.yolo_v3 import YoloV3
+    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.ops.map_eval import get_map, get_map_coco, get_map_one
+
+    anchors = load_anchors(args.anchorsFile)
+    image_wh = (args.imageSize, args.imageSize)
+    pipeline = YoloDataPipeline(
+        args.imagePath, args.labelFile, args.classesFile, batch_size=1,
+        anchors=anchors, image_wh=image_wh, image_random=False,
+        label_mean=False, prefetch=2,
+    )
+    classes_num = pipeline.classes_num
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model_cls = YoloV4 if args.version == "v4" else YoloV3
+    model = model_cls(classes_num=classes_num, dtype=dtype)
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
+    variables = _restore_variables(args, model, x0)
+    predict = make_yolo_predict(
+        model, image_wh, anchors, classes_num,
+        confidence_thresh=args.confidenceThresh,
+        scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
+        iou_type="diou" if args.version == "v4" else "iou",
+    )
+
+    n = args.maxImages or pipeline.labels_num
+    per_image, data = [], []
+    for i, batch in zip(range(n), pipeline):
+        boxes, ids, scores, valid = predict(variables, batch["image"])
+        v = np.asarray(valid)
+        pred = np.concatenate(
+            [np.asarray(boxes)[v],
+             np.asarray(ids)[v][:, None].astype(np.float64),
+             np.asarray(scores)[v][:, None]], axis=-1)
+        gt = ground_truth_from_targets(
+            [np.asarray(t[0]) for t in batch["targets"]], classes_num)
+        if args.mode == "batch":
+            per_image.append(get_map_one(
+                gt.tolist(), pred.tolist(), classes_num, args.thresh,
+                variant="reference" if args.variant == "reference"
+                else "voc"))
+        else:
+            data.append({"image_path": f"{i}.jpg",
+                         "groud_truth": gt.tolist(),
+                         "prediction": pred.tolist()})
+
+    if args.mode == "batch":
+        return {"mAP": float(np.mean(per_image)) if per_image else 0.0,
+                "images": len(per_image)}
+    if args.variant == "coco":
+        return {"mAP": get_map_coco(data, classes_num),
+                "images": len(data)}
+    return {"mAP": get_map(data, classes_num, args.thresh,
+                           variant=args.variant),
+            "images": len(data)}
+
+
+def eval_efficientdet(args):
+    import jax.numpy as jnp
+
+    from tmv_tpu.data.efficientdet_pipeline import EfficientDetPipeline
+    from tmv_tpu.models.efficientdet import (
+        EfficientDetNet, get_efficientdet_config,
+    )
+    from tmv_tpu.models.efficientdet.harness import make_efficientdet_eval
+    from tmv_tpu.ops.anchors import Anchors
+
+    cfg = get_efficientdet_config(args.modelName)
+    if args.imageSize:
+        cfg.image_size = args.imageSize
+        cfg.levels_size = [args.imageSize]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+    anchors = Anchors(
+        min_level=cfg.min_level, max_level=cfg.max_level,
+        image_size=(cfg.image_size, cfg.image_size),
+        num_scales=cfg.num_scales, aspect_ratios=cfg.aspect_ratios,
+        anchor_scale=cfg.anchor_scale,
+    )
+    pipeline = EfficientDetPipeline(
+        args.imagePath, args.labelFile, args.classesFile, batch_size=1,
+        anchors=anchors, num_classes=cfg.num_classes,
+        image_size=cfg.image_size, augment=False, label_mean=False,
+        with_raw_boxes=True,
+    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = EfficientDetNet(config=cfg, dtype=dtype)
+    x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    variables = _restore_variables(args, model, x0)
+    eval_step = make_efficientdet_eval(model, anchors, loss_fn=None)
+
+    n = args.maxImages or pipeline.labels_num
+    maps = []
+    for _, batch in zip(range(n), pipeline):
+        maps.append(eval_step(variables, batch)["mAP"])
+    return {"mAP": float(np.mean(maps)) if maps else 0.0,
+            "images": len(maps)}
+
+
+def main():
+    args = parse_args()
+    if args.family == "yolo":
+        result = eval_yolo(args)
+    else:
+        result = eval_efficientdet(args)
+    result.update({"family": args.family, "mode": args.mode,
+                   "variant": args.variant})
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
