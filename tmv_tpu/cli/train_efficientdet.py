@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--modelPath", default="./data/efficientdet_weights")
     p.add_argument("--maxBoxes", type=int, default=100)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--accumSteps", type=int, default=1,
+                   help="gradient accumulation micro-steps (batchSize must "
+                        "divide)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices")
     # EarlyStopping on epoch train loss (efficientnet/train.py:138-139;
@@ -83,7 +86,8 @@ def main():
 
     loss_fn = make_efficientdet_loss_fn(model)
     raw_step = make_train_step(
-        loss_fn, tx, clip_global_norm=10.0, ema_decay=0.9998)
+        loss_fn, tx, clip_global_norm=10.0, ema_decay=0.9998,
+        accum_steps=args.accumSteps)
     dp = None
     if args.dp:
         from tmv_tpu.parallel.train import DataParallel

@@ -43,6 +43,9 @@ def parse_args():
                         "augmentation (device-side; YOLOv4 README lists it "
                         "unimplemented in the reference — new capability)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--accumSteps", type=int, default=1,
+                   help="gradient accumulation micro-steps (batchSize must "
+                        "divide)")
     # training-health callbacks (yolo_v3/train.py:76-77 defaults)
     p.add_argument("--earlyStopPatience", type=int, default=10,
                    help="epochs without train-loss improvement before "
@@ -105,7 +108,8 @@ def main():
         print(f"resumed from step {start_step}")
 
     loss_fn = make_yolo_loss_fn(model, image_wh, anchors, iou_type=iou_type)
-    step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
+    step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True,
+                                      accum_steps=args.accumSteps))
 
     # two-phase warm start: train only output convs first
     # (FreeLayer parity, yolo_v3/train.py:79-87)

@@ -130,6 +130,7 @@ def make_train_step(
     shadow_loss: bool = False,
     loss_decay: float = 0.9,
     ema_decay: Optional[float] = None,
+    accum_steps: int = 1,
 ):
     """Build a pure train step ``(state, batch, rng) -> (state, metrics)``.
 
@@ -141,16 +142,48 @@ def make_train_step(
             (`yolo_v3/model.py:205-210`): after the warmup ramp the effective
             gradient is scaled by ``1 − decay``.
         ema_decay: optional weight-EMA decay (tfa MovingAverage parity).
+        accum_steps: gradient accumulation — split the batch into this many
+            micro-batches (leading dim must divide), ``lax.scan`` the grads
+            and average before one optimizer update.  Trades step latency
+            for HBM: activations only materialize for one micro-batch at a
+            time, so effective batch sizes can exceed device memory.  BN
+            statistics thread through the micro-batches sequentially.  No
+            reference counterpart (a new capability).
     """
 
-    def train_step(state: TrainState, batch, rng):
-        def raw_loss(params):
-            loss, (new_stats, aux) = loss_fn(params, state.batch_stats, batch, rng)
+    def _grads_direct(params, batch_stats, batch, rng):
+        def raw_loss(p):
+            loss, (new_stats, aux) = loss_fn(p, batch_stats, batch, rng)
             return loss, (new_stats, aux)
 
         (loss, (new_stats, aux)), grads = jax.value_and_grad(
-            raw_loss, has_aux=True
-        )(state.params)
+            raw_loss, has_aux=True)(params)
+        return loss, new_stats, aux, grads
+
+    def _grads_accum(params, batch_stats, batch, rng):
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                + x.shape[1:]), batch)
+        rngs = jax.random.split(rng, accum_steps)
+
+        def body(carry, xs):
+            stats = carry
+            mb, r = xs
+            loss, stats, aux, grads = _grads_direct(params, stats, mb, r)
+            return stats, (loss, aux, grads)
+
+        final_stats, (losses, auxs, grads) = jax.lax.scan(
+            body, batch_stats, (micro, rngs))
+        mean = lambda t: jax.tree.map(lambda x: jnp.mean(x, axis=0), t)
+        return (jnp.mean(losses), final_stats, mean(auxs), mean(grads))
+
+    def train_step(state: TrainState, batch, rng):
+        if accum_steps > 1:
+            loss, new_stats, aux, grads = _grads_accum(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            loss, new_stats, aux, grads = _grads_direct(
+                state.params, state.batch_stats, batch, rng)
 
         if shadow_loss:
             decay = shadow_loss_decay(state.step, loss_decay)
