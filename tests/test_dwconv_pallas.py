@@ -1,0 +1,110 @@
+"""Fused depthwise+BN+swish Pallas kernel vs the XLA reference
+(interpret mode so it runs on the CPU test mesh)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tmv_tpu.kernels.dwconv_pallas import dw_reference, fused_dw_bn_swish
+
+
+def make_case(rng, b, h, w, c, k):
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(size=(k, k, c)).astype(np.float32) * 0.3)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32))
+    offset = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+    return x, wt, scale, offset
+
+
+class TestFusedDwConv:
+    @pytest.mark.parametrize("k", [3, 5])
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_reference(self, rng, k, stride):
+        x, wt, scale, offset = make_case(rng, 2, 16, 16, 8, k)
+        ref = dw_reference(x, wt, scale, offset, stride)
+        out = fused_dw_bn_swish(x, wt, scale, offset, stride,
+                                row_tile=4, interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ragged_height_tiles(self, rng):
+        # h_out=15 not divisible by row_tile=4 → last tile padded+cropped
+        x, wt, scale, offset = make_case(rng, 1, 15, 9, 4, 3)
+        ref = dw_reference(x, wt, scale, offset, 1)
+        out = fused_dw_bn_swish(x, wt, scale, offset, 1,
+                                row_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_odd_size_stride2(self, rng):
+        # odd H/W at stride 2 exercises the asymmetric SAME padding
+        x, wt, scale, offset = make_case(rng, 1, 13, 11, 4, 5)
+        ref = dw_reference(x, wt, scale, offset, 2)
+        out = fused_dw_bn_swish(x, wt, scale, offset, 2,
+                                row_tile=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bf16_io(self, rng):
+        x, wt, scale, offset = make_case(rng, 1, 12, 12, 8, 3)
+        out = fused_dw_bn_swish(x.astype(jnp.bfloat16), wt, scale, offset,
+                                1, row_tile=4, interpret=True)
+        ref = dw_reference(x.astype(jnp.bfloat16), wt, scale, offset, 1)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+
+class TestFusedBackbonePath:
+    def test_backbone_fused_eval_matches_and_same_tree(self, rng):
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import BackboneModel
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        kwargs = dict(
+            blocks_args=tuple(default_blocks_args()[:3]),
+            width_coefficient=0.5, depth_coefficient=0.5,
+        )
+        plain = BackboneModel(**kwargs)
+        fused = BackboneModel(**kwargs, fused_dw_eval=True)
+
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+        v_plain = plain.init(jax.random.key(0), x, False)
+        v_fused = fused.init(jax.random.key(0), x, False)
+
+        # identical variable trees (paths, shapes, values)
+        p1 = jax.tree_util.tree_leaves_with_path(v_plain)
+        p2 = jax.tree_util.tree_leaves_with_path(v_fused)
+        assert [k for k, _ in p1] == [k for k, _ in p2]
+        for (_, a), (_, b) in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+        ref = plain.apply(v_plain, x, False)
+        out = fused.apply(v_plain, x, False)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_fused_flag_train_mode_uses_standard_path(self, rng):
+        """train=True must take the BN-batch-stats path even when fused."""
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import BackboneModel
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        kwargs = dict(
+            blocks_args=tuple(default_blocks_args()[:2]),
+            width_coefficient=0.5, depth_coefficient=0.5,
+        )
+        plain = BackboneModel(**kwargs)
+        fused = BackboneModel(**kwargs, fused_dw_eval=True)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+        v = plain.init(jax.random.key(0), x, False)
+        r1, m1 = plain.apply(v, x, True, mutable=["batch_stats"])
+        r2, m2 = fused.apply(v, x, True, mutable=["batch_stats"])
+        for a, b in zip(jax.tree_util.tree_leaves((r1, m1)),
+                        jax.tree_util.tree_leaves((r2, m2))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))

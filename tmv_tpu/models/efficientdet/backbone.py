@@ -87,43 +87,103 @@ class Stem(nn.Module):
         return nn.swish(x)
 
 
+class _DWKernelParams(nn.Module):
+    """Param-holder with ``nn.Conv``'s depthwise variable layout, so the
+    fused-kernel path keeps byte-identical checkpoints."""
+
+    kernel_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", depthwise_kernel_init,
+            (self.kernel_size, self.kernel_size, 1, self.features))
+
+
+class _BNStatsParams(nn.Module):
+    """Param-holder with ``nn.BatchNorm``'s variable layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class MBConvBlock(nn.Module):
-    """Mobile inverted bottleneck (reference variant: no residual skip)."""
+    """Mobile inverted bottleneck (reference variant: no residual skip).
+
+    ``fused_dw_eval=True`` routes the eval-mode depthwise+BN+swish through
+    the fused Pallas kernel (`kernels/dwconv_pallas.py`) — same variable
+    tree (explicit names pin the layout), TPU-only, inference only.
+    """
 
     block_args: EfficientDetBlockArgs
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    fused_dw_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         args = self.block_args
         filters = args.input_filters * args.expand_ratio
+        ci = bi = 0  # explicit Conv_i/BatchNorm_i names (= flax auto order)
 
-        def bn(y):
+        def bn(y, name):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=self.bn_momentum,
-                                epsilon=self.bn_epsilon, dtype=self.dtype)(y)
+                                epsilon=self.bn_epsilon, dtype=self.dtype,
+                                name=name)(y)
 
         if args.expand_ratio != 1:
             x = nn.Conv(filters, (1, 1), padding="SAME", use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype)(x)
-            x = nn.swish(bn(x))
+                        kernel_init=conv_kernel_init, dtype=self.dtype,
+                        name=f"Conv_{ci}")(x)
+            x = nn.swish(bn(x, f"BatchNorm_{bi}"))
+            ci += 1
+            bi += 1
 
-        # depthwise k×k
-        x = nn.Conv(filters, (args.kernel_size, args.kernel_size),
-                    strides=tuple(args.strides), padding="SAME",
-                    feature_group_count=filters, use_bias=False,
-                    kernel_init=depthwise_kernel_init, dtype=self.dtype)(x)
-        x = nn.swish(bn(x))
+        # depthwise k×k (+BN+swish): fused Pallas kernel on the eval path
+        if self.fused_dw_eval and not train:
+            from tmv_tpu.kernels.dwconv_pallas import fused_dw_bn_swish
+
+            kernel = _DWKernelParams(args.kernel_size, filters,
+                                     name=f"Conv_{ci}")()
+            scale, bias, mean, var = _BNStatsParams(
+                filters, name=f"BatchNorm_{bi}")()
+            fscale = scale / jnp.sqrt(var + self.bn_epsilon)
+            foffset = bias - mean * fscale
+            x = fused_dw_bn_swish(x, kernel[:, :, 0, :], fscale, foffset,
+                                  stride=tuple(args.strides)[0])
+        else:
+            x = nn.Conv(filters, (args.kernel_size, args.kernel_size),
+                        strides=tuple(args.strides), padding="SAME",
+                        feature_group_count=filters, use_bias=False,
+                        kernel_init=depthwise_kernel_init, dtype=self.dtype,
+                        name=f"Conv_{ci}")(x)
+            x = nn.swish(bn(x, f"BatchNorm_{bi}"))
+        ci += 1
+        bi += 1
 
         num_reduced = max(1, int(args.input_filters * args.se_ratio))
-        x = SE(num_reduced, filters, self.dtype)(x)
+        x = SE(num_reduced, filters, self.dtype, name="SE_0")(x)
 
         x = nn.Conv(args.output_filters, (1, 1), padding="SAME",
                     use_bias=False, kernel_init=conv_kernel_init,
-                    dtype=self.dtype)(x)
-        return bn(x)
+                    dtype=self.dtype, name=f"Conv_{ci}")(x)
+        return bn(x, f"BatchNorm_{bi}")
 
 
 class BackboneModel(nn.Module):
@@ -136,6 +196,7 @@ class BackboneModel(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    fused_dw_eval: bool = False
 
     def scaled_blocks(self) -> List[EfficientDetBlockArgs]:
         out = []
@@ -173,7 +234,8 @@ class BackboneModel(nn.Module):
             is_last = idx == len(blocks) - 1
             next_downsamples = (not is_last) and blocks[idx + 1].strides[0] > 1
             x = MBConvBlock(args, self.bn_momentum, self.bn_epsilon,
-                            self.dtype)(x, train)
+                            self.dtype,
+                            fused_dw_eval=self.fused_dw_eval)(x, train)
             if is_last or next_downsamples:
                 reductions.append(x)
         return [x] + reductions

@@ -36,6 +36,7 @@ class EfficientDetNet(nn.Module):
             depth_coefficient=cfg.depth_coefficient,
             depth_divisor=cfg.depth_divisor,
             bn_momentum=bn_m, bn_epsilon=bn_e, dtype=self.dtype,
+            fused_dw_eval=cfg.get("fused_dw_eval", False),
             name="backbone",
         )
         all_feats = backbone(x, train)

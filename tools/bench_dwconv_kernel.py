@@ -1,0 +1,108 @@
+"""Fused depthwise Pallas kernel vs XLA at the real B0 @512 block shapes.
+
+Compares: XLA depthwise conv alone, XLA dw+BN+swish (what the model
+actually runs), and the fused Pallas kernel — slope-method per-iter times
+plus each shape's HBM floor.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+K_SMALL, K_LARGE = 1, 9
+HBM_GBS = 819e9
+BATCH = 32
+
+# (hw, C, k, stride, repeats) — dw shapes of B0 @512 (see probe_backbone_ops)
+SHAPES = [
+    (256, 32, 3, 1, 1),
+    (256, 96, 3, 2, 1), (128, 144, 3, 1, 1),
+    (128, 144, 5, 2, 1), (64, 240, 5, 1, 1),
+    (64, 240, 3, 2, 1), (32, 480, 3, 1, 2),
+    (32, 480, 5, 1, 1), (32, 672, 5, 1, 2),
+    (32, 672, 5, 2, 1), (16, 1152, 5, 1, 3),
+    (16, 1152, 3, 1, 1),
+]
+
+
+def slope_time(run, reps=3):
+    times = {}
+    for k in (K_SMALL, K_LARGE):
+        _ = run(k)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = run(k)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
+
+
+def main(row_tile=8):
+    import jax
+    import jax.numpy as jnp
+
+    from tmv_tpu.kernels.dwconv_pallas import (
+        dw_reference, fused_dw_bn_swish,
+    )
+
+    rng = np.random.default_rng(0)
+    tot = {"xla": 0.0, "pallas": 0.0, "floor": 0.0}
+    print(f"b{BATCH} bf16, row_tile={row_tile} "
+          f"(per-iter ms: XLA dw+bn+swish vs fused Pallas):")
+    for (hw, c, k, stride, reps) in SHAPES:
+        x = jnp.asarray(rng.normal(size=(BATCH, hw, hw, c))
+                        .astype(np.float32), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, k, c)).astype(np.float32) * .3)
+        scale = jnp.asarray(rng.uniform(.5, 1.5, (c,)).astype(np.float32))
+        offset = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * .1)
+
+        def chain(fn):
+            @jax.jit
+            def run(x0, kk):
+                def body(i, carry):
+                    s = fn(carry)
+                    return carry + (jnp.sum(s.astype(jnp.float32)) * 1e-12
+                                    ).astype(carry.dtype)
+                out = jax.lax.fori_loop(0, kk, body, x0)
+                return jnp.sum(out.astype(jnp.float32))
+            return lambda kk: np.asarray(run(x, kk))
+
+        # stride>1 changes shape → time a stride-1 proxy inside the chain
+        # (same input traffic); device correctness covers real stride 2
+        fn_x = lambda a: dw_reference(a, w, scale, offset, 1)
+        fn_p = lambda a: fused_dw_bn_swish(a, w, scale, offset, 1,
+                                           row_tile=row_tile)
+        t_x = slope_time(chain(fn_x))
+        t_p = slope_time(chain(fn_p))
+        floor = BATCH * hw * hw * c * 2 * 2 / HBM_GBS
+        tot["xla"] += reps * t_x
+        tot["pallas"] += reps * t_p
+        tot["floor"] += reps * floor
+        print(f"  {hw:4d}² c{c:4d} k{k} (s{stride}→timed s1) ×{reps}:"
+              f"  xla {t_x*1e3:7.3f}  pallas {t_p*1e3:7.3f}"
+              f"  floor {floor*1e3:6.3f}  ({t_x/t_p:4.2f}x)")
+    print(f"  TOTAL: xla {tot['xla']*1e3:.2f} ms  "
+          f"pallas {tot['pallas']*1e3:.2f} ms  "
+          f"floor {tot['floor']*1e3:.2f} ms  "
+          f"speedup {tot['xla']/tot['pallas']:.2f}x")
+
+    # correctness spot-check on device (non-interpret path)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 144)).astype(np.float32),
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(5, 5, 144)).astype(np.float32) * .3)
+    scale = jnp.asarray(rng.uniform(.5, 1.5, (144,)).astype(np.float32))
+    offset = jnp.asarray(rng.normal(size=(144,)).astype(np.float32) * .1)
+    for s in (1, 2):
+        ref = np.asarray(dw_reference(x, w, scale, offset, s), np.float32)
+        out = np.asarray(fused_dw_bn_swish(x, w, scale, offset, s),
+                         np.float32)
+        err = np.max(np.abs(ref - out)) / (np.max(np.abs(ref)) + 1e-9)
+        print(f"  device correctness s{s}: rel-max-err {err:.2e}")
+        assert err < 5e-2
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
