@@ -1,0 +1,129 @@
+"""Dynamic int8 quantization: numerics and flax integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tmv_tpu.models.layers.common import ConvBN
+from tmv_tpu.quant import dynamic_int8_conv, quant_mode, quantized
+
+
+class TestDynamicInt8Conv:
+    def test_close_to_float_conv(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 32, 64)).astype(np.float32))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn)
+        out = dynamic_int8_conv(x, w)
+        rel = (np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+               / np.max(np.abs(np.asarray(ref))))
+        assert rel < 0.03, rel
+
+    def test_scale_offset_folding(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(1, 1, 8, 4)).astype(np.float32))
+        s = jnp.asarray(rng.uniform(0.5, 2.0, (4,)).astype(np.float32))
+        o = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+        base = np.asarray(dynamic_int8_conv(x, w))
+        out = np.asarray(dynamic_int8_conv(x, w, out_scale=s, out_offset=o))
+        np.testing.assert_allclose(out, base * np.asarray(s) + np.asarray(o),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_mode_context(self):
+        assert quant_mode() == "off"
+        with quantized():
+            assert quant_mode() == "int8"
+            with quantized("off"):
+                assert quant_mode() == "off"
+            assert quant_mode() == "int8"
+        assert quant_mode() == "off"
+
+
+class TestQuantConvBN:
+    @pytest.mark.parametrize("strides", [1, 2])
+    def test_same_tree_and_close_output(self, rng, strides):
+        model = ConvBN(16, 3, strides=strides, act="mish")
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+
+        v1 = model.init(jax.random.key(0), x, train=False)
+        with quantized():
+            v2 = model.init(jax.random.key(0), x, train=False)
+
+        p1 = jax.tree_util.tree_leaves_with_path(v1)
+        p2 = jax.tree_util.tree_leaves_with_path(v2)
+        assert [k for k, _ in p1] == [k for k, _ in p2]
+        for (_, a), (_, b) in zip(p1, p2):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+        # give BN stats non-trivial values so the folding is exercised
+        v = jax.tree.map(lambda t: t, v1)
+        v["batch_stats"] = jax.tree.map(
+            lambda t: t + 0.3 * jnp.arange(t.shape[0], dtype=t.dtype)
+            / t.shape[0], v["batch_stats"])
+        ref = model.apply(v, x, train=False)
+        with quantized():
+            out = model.apply(v, x, train=False)
+        rel = (np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+               / (np.max(np.abs(np.asarray(ref))) + 1e-9))
+        assert rel < 0.05, rel
+
+    def test_train_mode_ignores_quant_flag(self, rng):
+        model = ConvBN(8, 3, act="leaky")
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        ref, m1 = model.apply(v, x, train=True, mutable=["batch_stats"])
+        with quantized():
+            out, m2 = model.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out))
+        for a, b in zip(jax.tree_util.tree_leaves(m1),
+                        jax.tree_util.tree_leaves(m2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestQuantYoloStack:
+    def test_yolov4_forward_under_quant(self, rng):
+        """Whole YoloV4 traces and runs under the int8 flag; heads stay
+        finite and within a loose relative band of the float path."""
+        from tmv_tpu.models.yolo_v4 import YoloV4
+
+        model = YoloV4(classes_num=3)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        ref = model.apply(v, x, train=False)
+        with quantized():
+            out = model.apply(v, x, train=False)
+        for a, b in zip(ref, out):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all()
+            assert a.shape == b.shape
+            denom = np.max(np.abs(a)) + 1e-9
+            assert np.max(np.abs(a - b)) / denom < 0.5
+
+
+class TestQuantPredictor:
+    def test_make_yolo_predict_int8_runs(self, rng):
+        from tmv_tpu.models.detector_harness import make_yolo_predict
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        size = 64
+        anchors = np.asarray(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = YoloV3(classes_num=3)
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, size, size, 3)), train=False)
+        # tame exp(tw) decode overflow from random-init heads
+        v = {"params": jax.tree.map(lambda t: t * 0.2, v["params"]),
+             "batch_stats": v["batch_stats"]}
+        predict = make_yolo_predict(model, (size, size), anchors, 3,
+                                    confidence_thresh=0.0, scores_thresh=0.0,
+                                    max_output_size=8, quant="int8")
+        img = jnp.asarray(
+            rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+        boxes, ids, scores, valid = predict(v, img)
+        assert np.isfinite(np.asarray(scores)[np.asarray(valid)]).all()
+        assert np.asarray(valid).any()

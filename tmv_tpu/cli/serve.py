@@ -25,6 +25,10 @@ def parse_args():
                    help="micro-batch capacity (>1 enables the batching "
                         "queue + threaded server)")
     p.add_argument("--batchWaitMs", type=float, default=4.0)
+    p.add_argument("--int8", action="store_true",
+                   help="experimental dynamic-int8 conv path; on v5e the "
+                        "bandwidth-bound YOLO models run ~0.8x bf16 "
+                        "(see PARITY §6) — bf16 is the production path")
     p.add_argument("--artifact", default=None,
                    help="serve a .tmvx export (cli/export_model.py) — "
                         "skips model build + checkpoint load")
@@ -99,7 +103,7 @@ def main():
         predict_fn = make_yolo_predict(
             model, image_wh, anchors, classes_num,
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
-            iou_type=iou_type,
+            iou_type=iou_type, quant="int8" if args.int8 else "off",
         )
         # warm the jit cache before accepting traffic (import-time parity)
         predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))

@@ -60,8 +60,58 @@ class DarknetConv(nn.Module):
         )(x)
 
 
+class _ConvKernelHolder(nn.Module):
+    """Declares ``Conv_0/kernel`` exactly as ``DarknetConv``'s nn.Conv
+    would, so the int8 path keeps a byte-identical variable tree."""
+
+    filters: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        class _Inner(nn.Module):
+            filters: int
+            kernel_size: Tuple[int, int]
+            in_features: int
+
+            @nn.compact
+            def __call__(self):
+                return self.param(
+                    "kernel", nn.initializers.he_uniform(),
+                    self.kernel_size + (self.in_features, self.filters))
+
+        return _Inner(self.filters, self.kernel_size, self.in_features,
+                      name="Conv_0")()
+
+
+class _BNHolder(nn.Module):
+    """Declares ``nn.BatchNorm``'s variables without running it."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class ConvBN(nn.Module):
-    """Conv → BatchNorm → activation (DarknetConv2D_BN_{Leaky,Mish} parity)."""
+    """Conv → BatchNorm → activation (DarknetConv2D_BN_{Leaky,Mish} parity).
+
+    Under ``with tmv_tpu.quant.quantized():`` (trace-time flag, eval only)
+    the conv runs as a dynamic-int8 MXU op with the BN affine folded into
+    the dequantization (`quant/dynamic.py`); variable tree is unchanged.
+    """
 
     filters: int
     kernel_size: Union[int, Tuple[int, int]] = 3
@@ -73,6 +123,26 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tmv_tpu.quant.dynamic import dynamic_int8_conv, quant_mode
+
+        if quant_mode() == "int8" and not train:
+            strides = _pair(self.strides)
+            kernel = _ConvKernelHolder(
+                self.filters, _pair(self.kernel_size), x.shape[-1],
+                name="DarknetConv_0")()
+            scale, bias, mean, var = _BNHolder(
+                self.filters, name="BatchNorm_0")()
+            factor = scale / jnp.sqrt(var + self.bn_epsilon)
+            offset = bias - mean * factor
+            if strides == (2, 2):
+                x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+                padding = "VALID"
+            else:
+                padding = "SAME"
+            y = dynamic_int8_conv(x, kernel, strides, padding,
+                                  out_scale=factor, out_offset=offset)
+            return ACTIVATIONS[self.act](y.astype(self.dtype))
+
         x = DarknetConv(
             self.filters, self.kernel_size, self.strides,
             use_bias=False, dtype=self.dtype,
