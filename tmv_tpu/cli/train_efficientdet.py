@@ -25,12 +25,18 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--modelPath", default="./data/efficientdet_weights")
     p.add_argument("--maxBoxes", type=int, default=100)
+    p.add_argument("--imageSize", type=int, default=0,
+                   help="override the config's image size (0 = config)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--accumSteps", type=int, default=1,
                    help="gradient accumulation micro-steps (batchSize must "
                         "divide)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: shard image height this "
+                        "many ways on a 2-D (data x space) mesh (implies "
+                        "parallel execution; see docs/PARALLELISM.md)")
     # EarlyStopping on epoch train loss (efficientnet/train.py:138-139;
     # LR stays with the cosine schedule as in the reference)
     p.add_argument("--earlyStopPatience", type=int, default=10,
@@ -56,6 +62,11 @@ def main():
 
     args = parse_args()
     cfg = get_efficientdet_config(args.modelName)
+    if args.imageSize:
+        cfg.image_size = args.imageSize
+        cfg.levels_size = [args.imageSize]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = EfficientDetNet(config=cfg, dtype=dtype)
 
@@ -89,7 +100,17 @@ def main():
         loss_fn, tx, clip_global_norm=10.0, ema_decay=0.9998,
         accum_steps=args.accumSteps)
     dp = None
-    if args.dp:
+    it = iter(pipeline)
+    first_batch = None
+    if args.sp > 1:
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        dp = SpatialDataParallel(space=args.sp)
+        print(f"mesh {dp.mesh.devices.shape} (data x space)")
+        first_batch = next(it)
+        step_fn = dp.wrap_step(raw_step, first_batch)
+        state = dp.put_state(state)
+    elif args.dp:
         from tmv_tpu.parallel.train import DataParallel
 
         dp = DataParallel()
@@ -107,11 +128,13 @@ def main():
     early = (EarlyStopping(patience=args.earlyStopPatience)
              if args.earlyStopPatience else None)
 
-    it = iter(pipeline)
     total = args.epochs * args.stepsPerEpoch
     epoch_losses = []
     for i in range(int(state.step), total):
-        batch = next(it)
+        if first_batch is not None:
+            batch, first_batch = first_batch, None
+        else:
+            batch = next(it)
         if dp is not None:
             batch = dp.put_batch(batch)
         state, metrics = step_fn(state, batch, jax.random.key(i))

@@ -62,7 +62,15 @@ class SpatialDataParallel:
         return self.mesh.devices.size
 
     def leaf_sharding(self, x) -> NamedSharding:
-        return NamedSharding(self.mesh, spatial_spec(getattr(x, "ndim", 0)))
+        spec = spatial_spec(getattr(x, "ndim", 0))
+        # coarse leaves (e.g. low-resolution target grids) whose height
+        # doesn't divide the space axis stay data-sharded
+        shape = getattr(x, "shape", ())
+        n_space = self.mesh.shape["space"]
+        if (spec == P("data", "space")
+                and (len(shape) < 2 or shape[1] % n_space != 0)):
+            spec = P("data")
+        return NamedSharding(self.mesh, spec)
 
     def put_batch(self, batch):
         return jax.tree.map(
