@@ -60,6 +60,32 @@ class TestUnetTraining:
         assert int(restored.step) == int(state.step)
         mgr.close()
 
+    def test_restore_weights_across_optimizers(self, setup, tmp_path):
+        """Inference CLIs restore with a dummy SGD template against
+        whatever optimizer the trainer used — restore_weights must graft
+        params/batch_stats/step and ignore the opt_state mismatch
+        (caught live by tools/e2e_production_loop.py)."""
+        import optax
+
+        model, state, step, batch = setup
+        state, _ = step(state, batch, jax.random.key(0))  # adam state
+        mgr = CheckpointManager(str(tmp_path / "ckpt_x"))
+        mgr.save(int(state.step), state)
+
+        template = TrainState.create(
+            jax.tree.map(np.zeros_like, state.params),
+            jax.tree.map(np.zeros_like, state.batch_stats),
+            optax.sgd(1e-3))
+        restored = mgr.restore_weights(template)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(restored.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+        mgr.close()
+
     def test_grad_clip_reported(self, setup):
         model, state, step, batch = setup
         _, metrics = step(state, batch, jax.random.key(0))

@@ -48,7 +48,7 @@ def main():
     variables = model.init(jax.random.key(0), x0, train=False)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               optax.sgd(1e-3))
-    state = CheckpointManager(args.modelPath).restore(state)
+    state = CheckpointManager(args.modelPath).restore_weights(state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     predict_fn = make_yolo_predict(

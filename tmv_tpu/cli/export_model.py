@@ -63,7 +63,7 @@ def main():
 
         state = TrainState.create(
             variables["params"], variables["batch_stats"], optax.sgd(1e-3))
-        state = CheckpointManager(args.modelPath).restore(state)
+        state = CheckpointManager(args.modelPath).restore_weights(state)
         print(f"checkpoint at step {int(state.step)}")
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}

@@ -38,7 +38,7 @@ def main():
         x0, train=False)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               optax.sgd(1e-3))
-    state = CheckpointManager(args.modelPath).restore(state)
+    state = CheckpointManager(args.modelPath).restore_weights(state)
     images = load_images(args.images, args.imageSize)
     emb = get_embeddings(
         model, {"params": state.params, "batch_stats": state.batch_stats},

@@ -80,7 +80,7 @@ def main():
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               optax.sgd(1e-3))
     mgr = CheckpointManager(args.modelPath)
-    state = mgr.restore(state)
+    state = mgr.restore_weights(state)
     print(f"model at step {int(state.step)}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

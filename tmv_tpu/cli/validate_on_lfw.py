@@ -44,7 +44,7 @@ def main():
         x0, train=False)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               optax.sgd(1e-3))
-    state = CheckpointManager(args.modelPath).restore(state)
+    state = CheckpointManager(args.modelPath).restore_weights(state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     pairs = lfw.read_pairs(args.lfwPairs)

@@ -51,5 +51,35 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_weights(self, state_template: Any,
+                        step: Optional[int] = None) -> Any:
+        """Restore params/batch_stats/step (+EMA if saved) into the
+        template, ignoring the optimizer state entirely.
+
+        Inference CLIs (eval/export/serve/detect) build a dummy optimizer
+        whose state structure need not match whatever the trainer used —
+        a structural ``restore`` would fail on e.g. SGD-template vs
+        Adam-checkpoint.  This reads the raw checkpoint tree instead and
+        grafts only the weight-bearing fields."""
+        import jax.numpy as jnp
+
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return state_template
+        raw = self._mgr.restore(step)
+        get = raw.get if isinstance(raw, dict) else (lambda *_: None)
+        out = state_template.replace(
+            params=raw["params"],
+            batch_stats=raw["batch_stats"],
+            step=jnp.asarray(raw["step"]),
+        )
+        if get("shadow_loss") is not None:
+            out = out.replace(shadow_loss=jnp.asarray(raw["shadow_loss"]))
+        if get("ema_params") is not None:
+            out = out.replace(ema_params=raw["ema_params"])
+        if get("ema_batch_stats") is not None:
+            out = out.replace(ema_batch_stats=raw["ema_batch_stats"])
+        return out
+
     def close(self):
         self._mgr.close()

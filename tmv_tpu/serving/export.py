@@ -60,7 +60,19 @@ def export_predictor(
         fn = jax.jit(predict_fn)
         args = (_shape_structs(variables), _shape_structs(example_image))
 
-    exp = jexport.export(fn, platforms=list(platforms))(*args)
+    # Trace with the portable XLA NMS path: the Pallas kernel only lowers
+    # for the backend it runs on, and artifacts target several platforms.
+    import importlib
+
+    # must be the module: ops.__init__ re-exports a same-named function,
+    # which shadows the submodule as a package attribute
+    _nms = importlib.import_module("tmv_tpu.ops.nms")
+    prev_backend = _nms._BACKEND
+    _nms.set_nms_backend("xla")
+    try:
+        exp = jexport.export(fn, platforms=list(platforms))(*args)
+    finally:
+        _nms.set_nms_backend(prev_backend)
     blob = exp.serialize()
 
     buf = io.BytesIO()
