@@ -64,6 +64,14 @@ class TestEvalCLI:
         assert out["mode"] == "global" and out["variant"] == "coco"
         assert 0.0 <= out["mAP"] <= 1.0
 
+    def test_yolo_batch_coco_variant(self, dataset, capsys):
+        """--mode batch --variant coco must run per-image COCO AP (was
+        silently remapped to voc and mislabeled before round 3)."""
+        out = run_cli(BASE(dataset) + ["--version", "v3", "--maxImages", "1",
+                                       "--variant", "coco"], capsys)
+        assert out["mode"] == "batch" and out["variant"] == "coco"
+        assert 0.0 <= out["mAP"] <= 1.0
+
     def test_efficientdet_batch_mode(self, dataset, capsys):
         out = run_cli([
             "--family", "efficientdet",
@@ -73,4 +81,27 @@ class TestEvalCLI:
             "--imageSize", "64", "--maxImages", "1",
         ], capsys)
         assert out["family"] == "efficientdet" and out["images"] == 1
+        assert 0.0 <= out["mAP"] <= 1.0
+
+    def test_efficientdet_global_coco(self, dataset, capsys):
+        """Global-mode COCO eval for the efficientdet family (previously the
+        mode/variant flags were ignored and mislabeled in the JSON)."""
+        out = run_cli([
+            "--family", "efficientdet",
+            "--imagePath", str(dataset / "imgs"),
+            "--labelFile", str(dataset / "labels.txt"),
+            "--classesFile", str(dataset / "classes.txt"),
+            "--imageSize", "64", "--maxImages", "2",
+            "--mode", "global", "--variant", "coco",
+        ], capsys)
+        assert out["mode"] == "global" and out["variant"] == "coco"
+        assert out["images"] == 2
+        assert 0.0 <= out["mAP"] <= 1.0
+
+    def test_resnet_family_evaluable(self, dataset, capsys):
+        """The MoCo/distill ResNetYoloV3 detector is a first-class CLI
+        citizen (`momentum_contrast/test_object_detection.py` parity)."""
+        out = run_cli(BASE(dataset) + ["--version", "resnet",
+                                       "--maxImages", "1"], capsys)
+        assert out["images"] == 1
         assert 0.0 <= out["mAP"] <= 1.0

@@ -13,6 +13,7 @@ from tmv_tpu.serving.app import DetectionService
 from tmv_tpu.serving.export import (
     export_predictor,
     load_predictor,
+    read_export_meta,
 )
 
 
@@ -124,3 +125,49 @@ class TestExport:
             f.write(buf.getvalue())
         with pytest.raises(ValueError, match="magic"):
             load_predictor(path)
+
+    def test_meta_round_trip(self, predictor, tmp_path):
+        """META records input shape/dtype + caller extras (serve.py uses
+        image_size to reject mismatched --imageSize up front)."""
+        predict, variables, img = predictor
+        path = str(tmp_path / "m.tmvx")
+        export_predictor(predict, variables, img, path=path,
+                         bake_variables=True,
+                         meta={"image_size": img.shape[1], "version": "v3"})
+        meta = read_export_meta(path)
+        assert meta["input_shape"] == list(img.shape)
+        assert meta["input_dtype"] == "float32"
+        assert meta["image_size"] == img.shape[1]
+        assert meta["version"] == "v3"
+        assert "tpu" in meta["platforms"]
+
+    def test_explicit_nms_backend_closure(self, predictor):
+        """make_yolo_predict(nms_backend='xla') must trace the portable
+        path even when the process-global backend says 'pallas' — the
+        backend is part of the closure, not ambient state."""
+        import importlib
+
+        from tmv_tpu.models.detector_harness import make_yolo_predict
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        _nms = importlib.import_module("tmv_tpu.ops.nms")
+        predict, variables, img = predictor
+        size = img.shape[1]
+        anchors = np.array(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = YoloV3(classes_num=3)
+        pinned = make_yolo_predict(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, iou_thresh=0.5, max_output_size=16,
+            nms_backend="xla")
+        prev = _nms._BACKEND
+        _nms.set_nms_backend("pallas")
+        try:
+            # would fail on CPU if the closure honored the global: the
+            # Pallas TPU kernel cannot lower for the host platform
+            out = pinned(variables, img)
+        finally:
+            _nms.set_nms_backend(prev)
+        assert_predictions_equal(predict(variables, img), out)

@@ -40,6 +40,18 @@ class TestDataParallel:
         mesh = create_mesh(8, ("data",))
         assert mesh.devices.shape == (8,)
 
+    def test_mesh_explicit_devices_honored(self):
+        devs = list(reversed(jax.devices()))
+        mesh = create_mesh(4, ("data",), devices=devs)
+        assert [d.id for d in mesh.devices.flat] == [d.id for d in devs[:4]]
+
+    def test_spatial_wrapper_honors_devices(self):
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        devs = list(reversed(jax.devices()))[:4]
+        sp = SpatialDataParallel(data=2, space=2, devices=devs)
+        assert [d.id for d in sp.mesh.devices.flat] == [d.id for d in devs]
+
     def test_dp_matches_single_device(self, setup):
         model, state, step, batch = setup
         # single device

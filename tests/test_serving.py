@@ -96,6 +96,42 @@ class TestCliImports:
         import tmv_tpu.cli.serve
 
 
+class TestServeFlagValidation:
+    """serve.py must reject silently-ignored flag combinations up front."""
+
+    def _parse(self, argv):
+        import sys
+
+        from tmv_tpu.cli.serve import parse_args
+
+        old = sys.argv
+        sys.argv = ["serve"] + argv
+        try:
+            return parse_args()
+        finally:
+            sys.argv = old
+
+    def test_artifact_rejects_int8_batch_bf16(self):
+        for extra in (["--int8"], ["--batch", "4"], ["--bf16"]):
+            with pytest.raises(SystemExit):
+                self._parse(["--classesFile", "c.txt",
+                             "--artifact", "m.tmvx"] + extra)
+
+    def test_int8_with_batch_rejected(self):
+        with pytest.raises(SystemExit):
+            self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
+                         "--int8", "--batch", "4"])
+
+    def test_anchors_required_without_artifact(self):
+        with pytest.raises(SystemExit):
+            self._parse(["--classesFile", "c.txt"])
+
+    def test_artifact_without_anchors_ok(self):
+        args = self._parse(["--classesFile", "c.txt",
+                            "--artifact", "m.tmvx"])
+        assert args.artifact == "m.tmvx" and args.anchorsFile is None
+
+
 class TestMicroBatcher:
     """Micro-batching queue (`serving/batching.py`): concurrent requests
     share one batched predict call; results route back per-request."""
@@ -158,6 +194,51 @@ class TestMicroBatcher:
         batcher = MicroBatcher(boom, {}, max_batch=2)
         with pytest.raises(ValueError, match="kernel on fire"):
             batcher.predict_one(np.zeros((2, 2, 3), np.float32))
+        batcher.close()
+
+    def test_bad_shape_fails_request_not_collector(self):
+        """A wrong-shaped image must fail its own future; the collector
+        thread survives and keeps serving later requests."""
+        import threading
+
+        import time
+
+        lock = threading.Lock()
+        batcher = self._make_batcher(max_batch=4, lock=lock)
+        errs, oks = [], []
+
+        def bad():
+            try:
+                batcher.predict_one(np.zeros((5, 5, 3), np.float32))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        def good():
+            oks.append(batcher.predict_one(np.ones((4, 4, 3), np.float32)))
+
+        # primer occupies the collector inside batched_predict (blocked on
+        # the lock) so the good+bad pair below lands in ONE batch
+        lock.acquire()
+        primer = threading.Thread(target=good)
+        primer.start()
+        time.sleep(0.2)
+        t1 = threading.Thread(target=good)
+        t1.start()
+        time.sleep(0.1)
+        t2 = threading.Thread(target=bad)
+        t2.start()
+        time.sleep(0.1)
+        lock.release()
+        primer.join(timeout=10)
+        t1.join(timeout=10)
+        t2.join(timeout=10)
+        # the mismatched request raised; the well-formed ones resolved
+        assert len(errs) == 1 and isinstance(errs[0], ValueError)
+        assert len(oks) == 2
+        assert all(o[0] == pytest.approx(4 * 4 * 3) for o in oks)
+        # collector still alive: a fresh request succeeds
+        out = batcher.predict_one(np.ones((4, 4, 3), np.float32))
+        assert out[0] == pytest.approx(4 * 4 * 3)
         batcher.close()
 
 

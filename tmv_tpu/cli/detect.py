@@ -16,7 +16,10 @@ def parse_args():
     p.add_argument("--modelPath", required=True)
     p.add_argument("--classesFile", required=True)
     p.add_argument("--anchorsFile", required=True)
-    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--version", default="v4",
+                   choices=["v3", "v4", "resnet"],
+                   help="'resnet' = the MoCo/distill ResNet50V2+YOLOv3-head "
+                        "detector (finetuned/distilled checkpoints)")
     p.add_argument("--imageSize", type=int, default=416)
     p.add_argument("--confidenceThresh", type=float, default=0.5)
     p.add_argument("--scoresThresh", type=float, default=0.2)
@@ -32,9 +35,9 @@ def main():
     from tmv_tpu.core.checkpoint import CheckpointManager
     from tmv_tpu.core.train_state import TrainState
     from tmv_tpu.data.loaders import load_anchors, load_classes
-    from tmv_tpu.models.detector_harness import make_yolo_predict
-    from tmv_tpu.models.yolo_v3 import YoloV3
-    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.models.detector_harness import (
+        build_yolo_model, make_yolo_predict,
+    )
     from tmv_tpu.serving.app import DetectionService
     from tmv_tpu.utils import image_helper
 
@@ -42,8 +45,8 @@ def main():
     anchors = load_anchors(args.anchorsFile)
     classes_name, classes_num = load_classes(args.classesFile)
     image_wh = (args.imageSize, args.imageSize)
-    model_cls = YoloV4 if args.version == "v4" else YoloV3
-    model = model_cls(classes_num=classes_num)
+    model, iou_type = build_yolo_model(
+        args.version, classes_num, anchors_per_scale=anchors.shape[1])
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3))
     variables = model.init(jax.random.key(0), x0, train=False)
     state = TrainState.create(variables["params"], variables["batch_stats"],
@@ -55,7 +58,7 @@ def main():
         model, image_wh, anchors, classes_num,
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
-        iou_type="diou" if args.version == "v4" else "iou",
+        iou_type=iou_type,
     )
     service = DetectionService(predict_fn, variables, classes_name, image_wh)
     img = image_helper.bytes_to_image(open(args.image, "rb").read())

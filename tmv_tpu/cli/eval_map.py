@@ -7,11 +7,15 @@ checkpoint on a labeled set" entry point.  This CLI adds one for both
 detector families:
 
 - ``--mode batch`` (default) reproduces the reference semantics exactly:
-  per-image mAP with the quirky evaluator, averaged over the set.
+  per-image mAP, averaged over the set (``--variant`` selects the
+  per-image AP integrator; ``coco`` averages per-image COCO AP).
 - ``--mode global`` accumulates all images into one PR curve per class —
   the statistically standard evaluation — with ``--variant
   reference|voc|coco`` selecting the AP integrator
   (`ops/map_eval.py::get_ap{,_voc,_coco}`).
+
+Both modes and all three variants are implemented for both families; the
+JSON output reports the mode/variant that actually ran.
 
 Usage:
     python -m tmv_tpu.cli.eval_map --family yolo --version v4 \
@@ -29,8 +33,10 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--family", default="yolo",
                    choices=["yolo", "efficientdet"])
-    p.add_argument("--version", default="v4", choices=["v3", "v4"],
-                   help="yolo family version")
+    p.add_argument("--version", default="v4",
+                   choices=["v3", "v4", "resnet"],
+                   help="yolo family version ('resnet' = the MoCo/distill "
+                        "ResNet50V2+YOLOv3-head detector)")
     p.add_argument("--modelName", default="efficientdet-d0")
     p.add_argument("--imagePath", required=True)
     p.add_argument("--labelFile", required=True)
@@ -73,18 +79,41 @@ def _restore_variables(args, model, x0):
     return variables
 
 
+def score_dataset(data, classes_num: int, mode: str, variant: str,
+                  thresh: float) -> float:
+    """Score collected per-image rows under every mode × variant.
+
+    ``data``: list of ``{"image_path", "groud_truth", "prediction"}`` dicts
+    (the reference's evaluator record format, `utils/mAP.py:113-131`).
+    ``mode='batch'`` averages per-image mAP (the reference ``test_step``
+    semantics, `yolo_v3/model.py:229-258`); ``mode='global'`` pools all
+    images into one PR curve per class.  ``variant`` picks the AP
+    integrator: 'reference' (quirky envelope), 'voc' (corrected 11-free
+    envelope), 'coco' (AP@[.50:.95], ignores ``thresh``).
+    """
+    from tmv_tpu.ops.map_eval import get_map, get_map_coco
+
+    def one(subset):
+        if variant == "coco":
+            return get_map_coco(subset, classes_num)
+        return get_map(subset, classes_num, thresh, variant=variant)
+
+    if mode == "global":
+        return float(one(data))
+    per_image = [one([d]) for d in data]
+    return float(np.mean(per_image)) if per_image else 0.0
+
+
 def eval_yolo(args):
     import jax.numpy as jnp
 
     from tmv_tpu.data.loaders import load_anchors
     from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
     from tmv_tpu.models.detector_harness import (
+        build_yolo_model,
         ground_truth_from_targets,
         make_yolo_predict,
     )
-    from tmv_tpu.models.yolo_v3 import YoloV3
-    from tmv_tpu.models.yolo_v4 import YoloV4
-    from tmv_tpu.ops.map_eval import get_map, get_map_coco, get_map_one
 
     anchors = load_anchors(args.anchorsFile)
     image_wh = (args.imageSize, args.imageSize)
@@ -95,19 +124,20 @@ def eval_yolo(args):
     )
     classes_num = pipeline.classes_num
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model_cls = YoloV4 if args.version == "v4" else YoloV3
-    model = model_cls(classes_num=classes_num, dtype=dtype)
+    model, iou_type = build_yolo_model(
+        args.version, classes_num, anchors_per_scale=anchors.shape[1],
+        dtype=dtype)
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
     variables = _restore_variables(args, model, x0)
     predict = make_yolo_predict(
         model, image_wh, anchors, classes_num,
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
-        iou_type="diou" if args.version == "v4" else "iou",
+        iou_type=iou_type,
     )
 
     n = args.maxImages or pipeline.labels_num
-    per_image, data = [], []
+    data = []
     for i, batch in zip(range(n), pipeline):
         boxes, ids, scores, valid = predict(variables, batch["image"])
         v = np.asarray(valid)
@@ -117,24 +147,12 @@ def eval_yolo(args):
              np.asarray(scores)[v][:, None]], axis=-1)
         gt = ground_truth_from_targets(
             [np.asarray(t[0]) for t in batch["targets"]], classes_num)
-        if args.mode == "batch":
-            per_image.append(get_map_one(
-                gt.tolist(), pred.tolist(), classes_num, args.thresh,
-                variant="reference" if args.variant == "reference"
-                else "voc"))
-        else:
-            data.append({"image_path": f"{i}.jpg",
-                         "groud_truth": gt.tolist(),
-                         "prediction": pred.tolist()})
+        data.append({"image_path": f"{i}.jpg",
+                     "groud_truth": gt.tolist(),
+                     "prediction": pred.tolist()})
 
-    if args.mode == "batch":
-        return {"mAP": float(np.mean(per_image)) if per_image else 0.0,
-                "images": len(per_image)}
-    if args.variant == "coco":
-        return {"mAP": get_map_coco(data, classes_num),
-                "images": len(data)}
-    return {"mAP": get_map(data, classes_num, args.thresh,
-                           variant=args.variant),
+    return {"mAP": score_dataset(data, classes_num, args.mode, args.variant,
+                                 args.thresh),
             "images": len(data)}
 
 
@@ -145,7 +163,7 @@ def eval_efficientdet(args):
     from tmv_tpu.models.efficientdet import (
         EfficientDetNet, get_efficientdet_config,
     )
-    from tmv_tpu.models.efficientdet.harness import make_efficientdet_eval
+    from tmv_tpu.models.efficientdet.harness import make_efficientdet_pred_gt
     from tmv_tpu.ops.anchors import Anchors
 
     cfg = get_efficientdet_config(args.modelName)
@@ -170,14 +188,18 @@ def eval_efficientdet(args):
     model = EfficientDetNet(config=cfg, dtype=dtype)
     x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     variables = _restore_variables(args, model, x0)
-    eval_step = make_efficientdet_eval(model, anchors, loss_fn=None)
+    collect = make_efficientdet_pred_gt(model, anchors)
 
     n = args.maxImages or pipeline.labels_num
-    maps = []
-    for _, batch in zip(range(n), pipeline):
-        maps.append(eval_step(variables, batch)["mAP"])
-    return {"mAP": float(np.mean(maps)) if maps else 0.0,
-            "images": len(maps)}
+    data = []
+    for i, batch in zip(range(n), pipeline):
+        for pred, gt in collect(variables, batch):
+            data.append({"image_path": f"{i}.jpg",
+                         "groud_truth": gt.tolist(),
+                         "prediction": pred.tolist()})
+    return {"mAP": score_dataset(data, cfg.num_classes, args.mode,
+                                 args.variant, args.thresh),
+            "images": len(data)}
 
 
 def main():

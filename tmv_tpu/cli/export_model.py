@@ -22,7 +22,10 @@ def parse_args():
                         "tests)")
     p.add_argument("--classesFile", required=True)
     p.add_argument("--anchorsFile", required=True)
-    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--version", default="v4",
+                   choices=["v3", "v4", "resnet"],
+                   help="'resnet' = the MoCo/distill ResNet50V2+YOLOv3-head "
+                        "detector")
     p.add_argument("--imageSize", type=int, default=416)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--out", required=True)
@@ -40,9 +43,9 @@ def main():
     import numpy as np
 
     from tmv_tpu.data.loaders import load_anchors, load_classes
-    from tmv_tpu.models.detector_harness import make_yolo_predict
-    from tmv_tpu.models.yolo_v3 import YoloV3
-    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.models.detector_harness import (
+        build_yolo_model, make_yolo_predict,
+    )
     from tmv_tpu.serving.export import export_predictor
 
     args = parse_args()
@@ -50,8 +53,9 @@ def main():
     classes_name, classes_num = load_classes(args.classesFile)
     image_wh = (args.imageSize, args.imageSize)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model_cls = YoloV4 if args.version == "v4" else YoloV3
-    model = model_cls(classes_num=classes_num, dtype=dtype)
+    model, iou_type = build_yolo_model(
+        args.version, classes_num, anchors_per_scale=anchors.shape[1],
+        dtype=dtype)
 
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
@@ -68,17 +72,21 @@ def main():
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
 
-    iou_type = "diou" if args.version == "v4" else "iou"
+    # nms_backend='xla' is part of the closure: the exported program must
+    # be portable across every --platforms target, so the TPU-only Pallas
+    # NMS kernel is excluded at trace time (not via the process global).
     predict = make_yolo_predict(
         model, image_wh, anchors, classes_num,
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
-        iou_type=iou_type,
+        iou_type=iou_type, nms_backend="xla",
     )
     example = np.zeros((1, image_wh[1], image_wh[0], 3), np.float32)
     blob = export_predictor(
         predict, variables, example, path=args.out, bake_variables=True,
         platforms=tuple(args.platforms.split(",")),
+        meta={"image_size": args.imageSize, "version": args.version,
+              "classes_num": classes_num},
     )
     print(f"wrote {args.out}: {len(blob)/1e6:.2f} MB "
           f"(classes={classes_num}, {args.version} @{args.imageSize})")

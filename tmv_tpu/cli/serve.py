@@ -15,8 +15,13 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--modelPath", default="./data/yolo_weights")
     p.add_argument("--classesFile", required=True)
-    p.add_argument("--anchorsFile", required=True)
-    p.add_argument("--version", default="v4", choices=["v3", "v4"])
+    p.add_argument("--anchorsFile", default=None,
+                   help="required unless serving an --artifact (the "
+                        "artifact bakes decode+NMS in)")
+    p.add_argument("--version", default="v4",
+                   choices=["v3", "v4", "resnet"],
+                   help="'resnet' = the MoCo/distill ResNet50V2+YOLOv3-head "
+                        "detector")
     p.add_argument("--imageSize", type=int, default=416)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -32,7 +37,23 @@ def parse_args():
     p.add_argument("--artifact", default=None,
                    help="serve a .tmvx export (cli/export_model.py) — "
                         "skips model build + checkpoint load")
-    return p.parse_args()
+    args = p.parse_args()
+    # reject silently-ignored flag combinations up front
+    if args.artifact:
+        bad = [f for f, on in [("--batch", args.batch > 1),
+                               ("--int8", args.int8),
+                               ("--bf16", args.bf16)] if on]
+        if bad:
+            p.error(f"{', '.join(bad)} cannot be combined with --artifact: "
+                    "the exported program pins its own batch size and "
+                    "dtypes at export time")
+    else:
+        if args.anchorsFile is None:
+            p.error("--anchorsFile is required (omit only with --artifact)")
+        if args.int8 and args.batch > 1:
+            p.error("--int8 is only supported with --batch 1 "
+                    "(the batched predictor has no quantized path)")
+    return args
 
 
 def serve_artifact(args):
@@ -40,9 +61,16 @@ def serve_artifact(args):
 
     from tmv_tpu.data.loaders import load_classes
     from tmv_tpu.serving.app import DetectionService, run_server
-    from tmv_tpu.serving.export import load_predictor
+    from tmv_tpu.serving.export import load_predictor, read_export_meta
 
     classes_name, _ = load_classes(args.classesFile)
+    meta = read_export_meta(args.artifact)
+    if meta.get("image_size") and meta["image_size"] != args.imageSize:
+        raise SystemExit(
+            f"--imageSize {args.imageSize} does not match the artifact "
+            f"(exported at {meta['image_size']} px, shape "
+            f"{meta.get('input_shape')}); pass "
+            f"--imageSize {meta['image_size']}")
     image_wh = (args.imageSize, args.imageSize)
     predict_fn = load_predictor(args.artifact)
     predict_fn(None, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
@@ -59,9 +87,9 @@ def main():
     from tmv_tpu.core.checkpoint import CheckpointManager
     from tmv_tpu.core.train_state import TrainState
     from tmv_tpu.data.loaders import load_anchors, load_classes
-    from tmv_tpu.models.detector_harness import make_yolo_predict
-    from tmv_tpu.models.yolo_v3 import YoloV3
-    from tmv_tpu.models.yolo_v4 import YoloV4
+    from tmv_tpu.models.detector_harness import (
+        build_yolo_model, make_yolo_predict,
+    )
     from tmv_tpu.serving.app import DetectionService, run_server
 
     args = parse_args()
@@ -72,8 +100,9 @@ def main():
     classes_name, classes_num = load_classes(args.classesFile)
     image_wh = (args.imageSize, args.imageSize)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model_cls = YoloV4 if args.version == "v4" else YoloV3
-    model = model_cls(classes_num=classes_num, dtype=dtype)
+    model, iou_type = build_yolo_model(
+        args.version, classes_num, anchors_per_scale=anchors.shape[1],
+        dtype=dtype)
 
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)
@@ -84,7 +113,6 @@ def main():
     print(f"model at step {int(state.step)}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    iou_type = "diou" if args.version == "v4" else "iou"
     if args.batch > 1:
         from tmv_tpu.models.detector_harness import make_yolo_predict_batched
         from tmv_tpu.serving.batching import MicroBatcher

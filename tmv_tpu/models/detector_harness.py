@@ -28,6 +28,35 @@ from tmv_tpu.ops import yolo as yolo_ops
 from tmv_tpu.ops.map_eval import get_map_one
 
 
+def build_yolo_model(version: str, classes_num: int,
+                     anchors_per_scale: int = 3, dtype=jnp.float32):
+    """Detector factory for the YOLO-head family → ``(model, iou_type)``.
+
+    ``version``: 'v3' (Darknet-53), 'v4' (CSPDarknet-53 + DIoU-NMS/CIoU),
+    or 'resnet' — the MoCo/distill family detector (ResNet50V2 backbone +
+    YOLOv3 heads, `momentum_contrast/model.py:39-99`,
+    `unsupervised_learning/model.py:39-99`), which shares the v3
+    decode/NMS path so finetuned/distilled checkpoints are servable and
+    evaluable through the same CLI surface as the reference's
+    `momentum_contrast/test_object_detection.py`.
+    """
+    if version == "v4":
+        from tmv_tpu.models.yolo_v4 import YoloV4
+
+        return YoloV4(classes_num=classes_num, dtype=dtype), "diou"
+    if version == "v3":
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        return YoloV3(classes_num=classes_num, dtype=dtype), "iou"
+    if version == "resnet":
+        from tmv_tpu.models.moco import ResNetYoloV3
+
+        model = ResNetYoloV3(
+            out_filters=anchors_per_scale * (5 + classes_num), dtype=dtype)
+        return model, "iou"
+    raise ValueError(f"unknown yolo-family version {version!r}")
+
+
 def make_yolo_loss_fn(model, image_wh: Tuple[int, int], anchors_wh,
                       iou_thresh: float = 0.5, iou_type: str = "iou"):
     """Loss for ``make_train_step``: v3 → iou_type='iou', v4 → 'ciou'."""
@@ -55,12 +84,16 @@ def make_yolo_predict(model, image_wh, anchors_wh, classes_num: int,
                       iou_thresh: float = 0.5,
                       iou_type: str = "iou",
                       max_output_size: int = 500,
-                      quant: str = "off"):
+                      quant: str = "off",
+                      nms_backend: str = None):
     """Jitted single-image predictor: (1, H, W, 3) float image → padded
     (boxes, classes_id, scores, valid).  Boxes are normalized xyxy.
 
     ``quant="int8"`` traces the forward with dynamic-int8 convs
-    (`tmv_tpu.quant`) — ~2× MXU rate on v5e, small accuracy drift."""
+    (`tmv_tpu.quant`) — ~2× MXU rate on v5e, small accuracy drift.
+    ``nms_backend`` ('auto'/'xla'/'pallas') pins the NMS lowering as part
+    of the closure — pass 'xla' for multi-platform export so the traced
+    program never contains the TPU-only Pallas kernel."""
 
     anchors = jnp.asarray(anchors_wh, jnp.float32)
 
@@ -83,6 +116,7 @@ def make_yolo_predict(model, image_wh, anchors_wh, classes_num: int,
             iou_thresh=iou_thresh,
             iou_type=iou_type,
             max_output_size=max_output_size,
+            nms_backend=nms_backend,
         )
         return boxes, ids, scores, valid
 
@@ -94,7 +128,8 @@ def make_yolo_predict_batched(model, image_wh, anchors_wh, classes_num: int,
                               scores_thresh: float = 0.3,
                               iou_thresh: float = 0.5,
                               iou_type: str = "iou",
-                              max_output_size: int = 500):
+                              max_output_size: int = 500,
+                              nms_backend: str = None):
     """Batched predictor for the serving micro-batch queue: (B, H, W, 3)
     float images → per-image padded (boxes, classes_id, scores, valid) with
     a leading batch axis.  Same semantics as ``make_yolo_predict`` per
@@ -110,6 +145,7 @@ def make_yolo_predict_batched(model, image_wh, anchors_wh, classes_num: int,
             iou_thresh=iou_thresh,
             iou_type=iou_type,
             max_output_size=max_output_size,
+            nms_backend=nms_backend,
         )
         return boxes, ids, scores, valid
 

@@ -15,13 +15,16 @@ import numpy as np
 from tmv_tpu.ops.map_eval import get_map_one
 
 
-def make_efficientdet_eval(model, anchors, loss_fn):
-    """Returns ``eval_step(variables, batch) -> {'loss', 'mAP'}``.
+def make_efficientdet_pred_gt(model, anchors):
+    """Returns ``collect(variables, batch) -> [(pred, gt), ...]`` per image.
 
+    ``pred`` rows are ``[y1, x1, y2, x2, class_id, score]`` after decode →
+    background filter → DIoU-NMS; ``gt`` rows are ``[y1, x1, y2, x2,
+    class_id]`` from the pipeline's raw boxes — the same spaces the
+    reference's ``test_step`` compares (`efficientdet_net_train.py:135-169`).
     ``batch`` must carry ``raw``: list of (boxes_yxyx, classes) per image
     (``EfficientDetPipeline(with_raw_boxes=True)``).
     """
-    cfg = model.config
 
     @jax.jit
     def forward_decode(variables, images):
@@ -36,12 +39,11 @@ def make_efficientdet_eval(model, anchors, loss_fn):
         # single-image tuples (1, h, w, A, ...) → convert_outputs_one at 0
         return anchors.convert_outputs_one(0, decoded_one, classes_one)
 
-    def eval_step(variables, batch: Dict):
+    def collect(variables, batch: Dict):
         images = batch["image"]
         decoded, classes_out = forward_decode(variables, images)
-        batch_size = images.shape[0]
-        maps = []
-        for b in range(batch_size):
+        out = []
+        for b in range(images.shape[0]):
             decoded_one = tuple(d[b : b + 1] for d in decoded)
             classes_one = tuple(c[b : b + 1] for c in classes_out)
             nms_boxes, nms_ids, nms_scores, valid = nms_one(
@@ -56,8 +58,26 @@ def make_efficientdet_eval(model, anchors, loss_fn):
                 [np.asarray(raw_boxes, np.float64).reshape(-1, 4),
                  np.asarray(raw_classes, np.float64).reshape(-1, 1)],
                 axis=-1)
-            maps.append(get_map_one(gt.tolist(), pred.tolist(),
-                                    cfg.num_classes, 0.5))
+            out.append((pred, gt))
+        return out
+
+    return collect
+
+
+def make_efficientdet_eval(model, anchors, loss_fn):
+    """Returns ``eval_step(variables, batch) -> {'loss', 'mAP'}``.
+
+    ``batch`` must carry ``raw``: list of (boxes_yxyx, classes) per image
+    (``EfficientDetPipeline(with_raw_boxes=True)``).
+    """
+    cfg = model.config
+    collect = make_efficientdet_pred_gt(model, anchors)
+
+    def eval_step(variables, batch: Dict):
+        maps = [
+            get_map_one(gt.tolist(), pred.tolist(), cfg.num_classes, 0.5)
+            for pred, gt in collect(variables, batch)
+        ]
         return {"mAP": float(np.mean(maps))}
 
     return eval_step

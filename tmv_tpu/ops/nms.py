@@ -40,14 +40,16 @@ def set_nms_backend(backend: str):
     _BACKEND = backend
 
 
-def _use_pallas(coord: str, iou_type: str) -> bool:
-    if _BACKEND == "xla":
+def _use_pallas(coord: str, iou_type: str,
+                backend: Optional[str] = None) -> bool:
+    backend = _BACKEND if backend is None else backend
+    if backend == "xla":
         return False
     # the Pallas sweep implements xyxy iou/diou (the convention-symmetric
     # cases); yxyx iou/diou are coordinate-order invariant so they map too
     if iou_type not in ("iou", "diou"):
         return False
-    if _BACKEND == "pallas":
+    if backend == "pallas":
         return True
     try:
         return jax.default_backend() == "tpu"
@@ -73,6 +75,7 @@ def _greedy_nms(
     score_threshold: float,
     iou_type: str,
     coord: str,
+    backend: Optional[str] = None,
 ):
     n = boxes.shape[0]
 
@@ -85,7 +88,7 @@ def _greedy_nms(
     if classes is not None:
         classes_s = classes[order]
 
-    if _use_pallas(coord, iou_type):
+    if _use_pallas(coord, iou_type, backend):
         from tmv_tpu.kernels.nms_pallas import greedy_sweep_pallas
 
         # plain IoU is coordinate-order invariant; yxyx standard DIoU maps
@@ -138,6 +141,7 @@ def nms(
     score_threshold: float = _NEG_INF,
     iou_type: str = "iou",
     coord: str = "xyxy",
+    backend: Optional[str] = None,
 ):
     """Greedy NMS over padded candidates.
 
@@ -148,6 +152,9 @@ def nms(
         max_output_size: output capacity.
         score_threshold: candidates below it are dropped
             (`efficientnet/utils/nms.py:44` semantics).
+        backend: 'auto'/'xla'/'pallas' override for this call — part of the
+            trace, unlike the process-global ``set_nms_backend`` (None =
+            use the global).
 
     Returns:
         ``(indices, valid_out)``: int32 ``(max_output_size,)`` indices into the
@@ -158,7 +165,7 @@ def nms(
         valid = jnp.ones(scores.shape, dtype=bool)
     return _greedy_nms(
         boxes, scores, valid, None, max_output_size, iou_threshold,
-        score_threshold, iou_type, coord,
+        score_threshold, iou_type, coord, backend,
     )
 
 
@@ -215,6 +222,7 @@ def nms_by_classes(
     score_threshold: float = _NEG_INF,
     iou_type: str = "iou",
     coord: str = "xyxy",
+    backend: Optional[str] = None,
 ):
     """Class-aware greedy NMS: a box only suppresses boxes of its own class.
 
@@ -224,5 +232,5 @@ def nms_by_classes(
         valid = jnp.ones(scores.shape, dtype=bool)
     return _greedy_nms(
         boxes, scores, valid, classes, max_output_size, iou_threshold,
-        score_threshold, iou_type, coord,
+        score_threshold, iou_type, coord, backend,
     )

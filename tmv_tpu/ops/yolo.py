@@ -207,6 +207,7 @@ def nms_boxes(
     iou_type: str = "iou",
     max_output_size: int = 500,
     pre_nms_size: Optional[int] = 1024,
+    nms_backend: Optional[str] = None,
 ):
     """Full predict post-process (``GetNMSBoxes``, `tf_yolo_utils.py:169-269`).
 
@@ -272,6 +273,7 @@ def nms_boxes(
         iou_threshold=iou_thresh,
         iou_type=iou_type,
         coord="xyxy",
+        backend=nms_backend,
     )
     sel = cand[idx]
     return (

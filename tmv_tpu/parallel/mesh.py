@@ -24,9 +24,14 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a mesh over available devices (default: 1-D data mesh)."""
-    devices = jax.devices()
+    """Build a mesh over available devices (default: 1-D data mesh).
+
+    ``devices`` pins an explicit device subset/ordering; the default is
+    ``jax.devices()``.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     if shape is None:

@@ -54,7 +54,7 @@ class SpatialDataParallel:
             raise ValueError(
                 f"mesh {data}x{space} needs {n} devices, have {len(devs)}")
         self.mesh: Mesh = create_mesh(
-            n, ("data", "space"), shape=(data, space))
+            n, ("data", "space"), shape=(data, space), devices=devs)
         self.replicated = NamedSharding(self.mesh, P())
 
     @property

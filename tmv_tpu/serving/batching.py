@@ -115,19 +115,30 @@ class MicroBatcher:
                 return
             images = [img for img, _ in items]
             futures = [fut for _, fut in items]
-            n = len(images)
-            batch = np.zeros((self.max_batch,) + images[0].shape,
-                             dtype=np.float32)
-            for i, img in enumerate(images):
-                batch[i] = img
-            self.batch_sizes.append(n)
+            self.batch_sizes.append(len(images))
+            # Per-image shape validation: a wrong-shaped image fails its
+            # own future only — never the batch-mates, never the collector
+            # thread (which would strand every later request).
+            ref_shape = images[0].shape
+            batch = np.zeros((self.max_batch,) + ref_shape, dtype=np.float32)
+            live = []
+            for img, fut in zip(images, futures):
+                if img.shape != ref_shape:
+                    fut.set_exception(ValueError(
+                        f"image shape {img.shape} does not match the "
+                        f"batch shape {ref_shape}"))
+                    continue
+                batch[len(live)] = img
+                live.append(fut)
+            if not live:
+                continue
             try:
                 outs = self.batched_predict(self.variables, batch)
                 outs = [np.asarray(o) for o in outs]
-                for i, fut in enumerate(futures):
+                for i, fut in enumerate(live):
                     fut.set_result(tuple(o[i] for o in outs))
             except Exception as e:  # noqa: BLE001 — fail all waiters
-                for fut in futures:
+                for fut in live:
                     if not fut.done():
                         fut.set_exception(e)
 

@@ -16,6 +16,7 @@ freeze them in for single-file deployment.
 """
 
 import io
+import json
 import os
 import tarfile
 from typing import Any, Callable, Optional
@@ -43,12 +44,22 @@ def export_predictor(
     path: Optional[str] = None,
     bake_variables: bool = False,
     platforms=("tpu", "cpu"),
+    meta: Optional[dict] = None,
 ) -> bytes:
     """Serialize ``predict_fn(variables, image)`` to a StableHLO artifact.
 
     Returns the artifact bytes; also writes them to ``path`` if given.
     ``platforms`` lists lowering targets — the default artifact runs on
-    both TPU and CPU backends.
+    both TPU and CPU backends.  ``meta`` (JSON-serializable dict) is stored
+    alongside the program; the input shape/dtype are always recorded so a
+    server can validate its configuration against the artifact
+    (``read_export_meta``).
+
+    Portability note: build ``predict_fn`` with an explicit
+    ``nms_backend='xla'`` (``make_yolo_predict``) — that pins the portable
+    NMS path *in the closure*.  The module-global backend flip below only
+    protects predictors that have not been traced yet; a predictor already
+    traced on TPU carries the Pallas kernel in its jit cache.
     """
     import jax
     from jax import export as jexport
@@ -84,6 +95,12 @@ def export_predictor(
 
         add("MAGIC", _MAGIC.encode())
         add("BAKED", (b"1" if bake_variables else b"0"))
+        img = np.asarray(example_image)
+        full_meta = dict(meta or {})
+        full_meta.setdefault("input_shape", list(img.shape))
+        full_meta.setdefault("input_dtype", str(img.dtype))
+        full_meta.setdefault("platforms", list(platforms))
+        add("META", json.dumps(full_meta).encode())
         add("fn.stablehlo", bytes(blob))
     out = buf.getvalue()
     if path:
@@ -127,6 +144,26 @@ def load_predictor(path_or_bytes) -> Callable:
             return exp.call(variables, image)
 
     return call
+
+
+def read_export_meta(path_or_bytes) -> dict:
+    """Read the artifact's META dict (input shape/dtype, platforms, extras).
+
+    Artifacts written before META existed return ``{}``.
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        raw = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            raw = f.read()
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tar:
+        try:
+            member = tar.extractfile("META")
+        except KeyError:
+            return {}
+        if member is None:
+            return {}
+        return json.loads(member.read().decode())
 
 
 def export_file_size(path: str) -> int:
