@@ -19,8 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is compile-dominated (~10 min
-# cold); cached reruns skip recompiling unchanged programs.
+# Persistent compilation cache: measured on a 1-CPU box, full tier
+# ~40 min cold; smoke tier `-m "not slow"` ~19 min cold / ~13 min warm
+# (only XLA compilation is cached — tracing/lowering is re-done every
+# run, so the warm floor is trace-bound).
 _cache_dir = os.environ.get(
     "TMV_TEST_COMPILE_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "tmv_test_jax_cache"))

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.mark.slow  # three deep-backbone compiles; shape smoke only
 class TestInceptionBackbones:
     def test_inception_resnet_v1_embedding(self):
         from tmv_tpu.models.backbones import InceptionResNetV1

@@ -8,6 +8,7 @@ import pytest
 
 
 class TestDarknetRoundTrip:
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_yolo_v3_roundtrip(self, rng):
         from tmv_tpu.convert.darknet import (
             load_darknet_weights, save_darknet_weights, jax_to_numpy,
@@ -36,6 +37,7 @@ class TestDarknetRoundTrip:
                         jax.tree_util.tree_leaves(s2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_yolo_v4_roundtrip(self, rng):
         from tmv_tpu.convert.darknet import (
             load_darknet_weights, save_darknet_weights, jax_to_numpy,
@@ -59,6 +61,7 @@ class TestDarknetRoundTrip:
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_stream_length_mismatch_raises(self, rng):
         from tmv_tpu.convert.darknet import (
             load_darknet_weights, save_darknet_weights,
@@ -76,6 +79,7 @@ class TestDarknetRoundTrip:
             load_darknet_weights(v["params"], v["batch_stats"], buf,
                                  model=m, input_size=64)
 
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_truncated_stream_names_failing_conv(self):
         from tmv_tpu.convert.darknet import (
             load_darknet_weights, save_darknet_weights,
@@ -354,6 +358,7 @@ class TestKerasH5Import:
             jax_to_numpy(v["batch_stats"]))
         return v, params, stats
 
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_roundtrip_yolov3(self, rng, tmp_path):
         from tmv_tpu.convert.h5_import import (
             load_keras_h5_weights, save_keras_h5_weights,
@@ -413,6 +418,7 @@ class TestKerasH5Import:
                 np.asarray(s2[f"ConvBN_{i}"]["BatchNorm_0"]["mean"]),
                 float(i))
 
+    @pytest.mark.slow  # full-model trace; oracle tests cover the round trip
     def test_shape_mismatch_strict_and_skip(self, rng, tmp_path):
         from tmv_tpu.convert.h5_import import (
             load_keras_h5_weights, save_keras_h5_weights,

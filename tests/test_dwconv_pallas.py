@@ -57,6 +57,7 @@ class TestFusedDwConv:
             rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow  # compiles the full backbone twice (fused vs standard)
 class TestFusedBackbonePath:
     def test_backbone_fused_eval_matches_and_same_tree(self, rng):
         import jax

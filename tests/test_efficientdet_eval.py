@@ -50,6 +50,7 @@ def setup():
 
 
 class TestEfficientDetTrainEval:
+    @pytest.mark.slow  # 800-step overfit loop, minutes of compile+run
     def test_train_loss_decreases(self, setup):
         cfg, model, anchors, params, variables, batch = setup
         tx = optax.adam(1e-3)

@@ -72,6 +72,7 @@ class TestEvalCLI:
         assert out["mode"] == "batch" and out["variant"] == "coco"
         assert 0.0 <= out["mAP"] <= 1.0
 
+    @pytest.mark.slow  # compiles D0 eval stack; semantics pinned by faster tests
     def test_efficientdet_batch_mode(self, dataset, capsys):
         out = run_cli([
             "--family", "efficientdet",

@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# compile-heavy e2e (AOT export of full predictors); smoke tier relies on
+# test_serving + the forward oracle for the underlying semantics
+pytestmark = pytest.mark.slow
+
 from tmv_tpu.serving.app import DetectionService
 from tmv_tpu.serving.export import (
     export_predictor,

@@ -153,6 +153,7 @@ class TestYoloV3Oracle:
         assert_tap("h1_via_h5", o1, h1, self.TOL)
 
 
+@pytest.mark.slow  # deep f64 compile; v3 covers the Darknet conv semantics in smoke
 class TestYoloV4Oracle:
     TOL = 1e-7  # f64 vs f64: pure semantics
 
@@ -200,6 +201,7 @@ class TestYoloV4Oracle:
         assert_tap("z3", o3, z3, self.TOL)
 
 
+@pytest.mark.slow  # full D0 f64 compile
 class TestEfficientDetOracle:
     TOL = 1e-7  # f64 vs f64: pure semantics
 

@@ -133,6 +133,7 @@ class TestGraftParams:
         assert skipped == []
 
 
+@pytest.mark.slow  # full finetune CLI e2e (compile-heavy)
 class TestMocoFinetuneCli:
     def test_finetune_grafts_and_trains(self, tmp_path, monkeypatch):
         """pretrain-export-finetune flow end to end on tiny shapes

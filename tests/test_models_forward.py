@@ -65,6 +65,7 @@ class TestYoloV4:
         assert z3.shape == (1, 16, 16, 27)
 
 
+@pytest.mark.slow  # D0 compile; wiring is covered by the forward oracle
 class TestEfficientDet:
     def test_forward_shapes_d0_small(self, rngkey):
         from tmv_tpu.models.efficientdet import (

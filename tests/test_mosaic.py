@@ -6,6 +6,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# compile-heavy; device mosaic is a beyond-reference capability, not a
+# parity oracle
+pytestmark = pytest.mark.slow
+
 from tmv_tpu.data.mosaic import mosaic_batch
 
 

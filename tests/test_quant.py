@@ -83,6 +83,7 @@ class TestQuantConvBN:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # traces full YOLOv4 under the int8 flag
 class TestQuantYoloStack:
     def test_yolov4_forward_under_quant(self, rng):
         """Whole YoloV4 traces and runs under the int8 flag; heads stay
