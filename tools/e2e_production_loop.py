@@ -83,16 +83,18 @@ def main():
         "--imageSize", str(size),
     ]
 
-    # 1. train (overfit regime: small set, enough steps to learn)
+    # 1. train (overfit regime: small set, to convergence — 2000 shadow-
+    #    loss-damped steps reach mAP ≈0.75 on this set, enough that the
+    #    served artifact must yield detections, not just learn "a bit")
     run_cli("tmv_tpu.cli.train_yolo", base + [
         "--version", "v3",
         "--trainData", os.path.join(root, "labels.txt"),
         "--trainImagePath", os.path.join(root, "imgs"),
-        "--batchSize", "8", "--stepsPerEpoch", "100", "--epochs", "8",
+        "--batchSize", "8", "--stepsPerEpoch", "100", "--epochs", "20",
         "--lr", "5e-4", "--warmupSteps", "0", "--modelPath", ckpt,
         "--earlyStopPatience", "0",
     ])
-    result["train_steps"] = 800
+    result["train_steps"] = 2000
 
     # 2. standalone eval CLI on the checkpoint, both modes
     import contextlib
@@ -148,19 +150,37 @@ def main():
     out = json.loads(urllib.request.urlopen(req, timeout=120).read())
     result["serve_contract_keys"] = sorted(out.keys())
     result["serve_boxes"] = len(out["boxes"])
+
+    # IoU of the served detections (original-image pixel coords after
+    # un-letterboxing, `views/object_detection.py:40-109` contract)
+    # against im0's ground truth from the training labels
+    with open(os.path.join(root, "labels.txt")) as f:
+        first = f.readline().strip()
+    gt = [float(v) for v in first.split("|")[1].split(",")[1:5]]
+
+    def iou(a, b):
+        ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+        ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    result["serve_best_iou_vs_gt"] = round(
+        max((iou(b, gt) for b in out["boxes"]), default=0.0), 4)
     result["wall_sec"] = round(time.time() - t0, 1)
 
     with open(os.path.join(ROOT, "e2e_production_loop.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    # 800 shadow-loss-damped steps reach mAP ≈0.2 on this set (clearly
-    # learned vs ≈0 at init; full convergence is e2e_overfit_demo.py's
-    # job — 2000 steps → mAP 0.75).  The box-count over HTTP depends on
-    # thresholds crossing on a partially-trained model, so the serving
-    # assertions check the transport + contract, not detection yield.
-    assert result["mAP_ref_per_batch"] > 0.1, "model failed to learn"
+    assert result["mAP_ref_per_batch"] > 0.3, "model failed to converge"
     assert result["serve_contract_keys"] == [
         "boxes", "classes", "random_img", "result_img"]
+    # the chain must demonstrate *yield*: at least one detection survives
+    # train → checkpoint → export → HTTP serving and lands on the object
+    assert result["serve_boxes"] >= 1, "no detections through the artifact"
+    assert result["serve_best_iou_vs_gt"] >= 0.25, (
+        "served detections do not overlap the ground truth")
     print("E2E-PRODUCTION-LOOP-OK")
 
 
