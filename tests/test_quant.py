@@ -83,6 +83,124 @@ class TestQuantConvBN:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestStaticInt8:
+    def _stack(self):
+        import flax.linen as nn
+
+        class Stack(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = ConvBN(16, 3, act="mish")(x, train)
+                x = ConvBN(24, 3, strides=2, act="leaky")(x, train)
+                return ConvBN(8, 1, act="linear")(x, train)
+
+        return Stack()
+
+    def test_calibrate_prepare_and_match_float(self, rng):
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._stack()
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        v["batch_stats"] = jax.tree.map(
+            lambda t: t + 0.3 * jnp.arange(t.shape[0], dtype=t.dtype)
+            / t.shape[0], v["batch_stats"])
+
+        batches = [x, x * 0.5, x * 1.5]
+        absmax = calibrate_model(model, v, batches, train=False)
+        # one tap per ConvBN site
+        leaves = jax.tree_util.tree_leaves_with_path(absmax)
+        assert len(leaves) == 3
+        qv = prepare_static_int8_variables(v, absmax)
+        assert set(qv) == {"params", "batch_stats", "quant"}
+        for _, leaf in jax.tree_util.tree_leaves_with_path(
+                qv["quant"]):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+        ref = model.apply(v, x, train=False)
+        with quantized("int8_static"):
+            out = model.apply(qv, x, train=False)
+        rel = (np.max(np.abs(np.asarray(out) - np.asarray(ref)))
+               / (np.max(np.abs(np.asarray(ref))) + 1e-9))
+        assert rel < 0.06, rel
+
+    def test_no_runtime_statistics_passes(self, rng):
+        """The static trace must contain no reduction over activations:
+        the only reduce ops allowed are the conv itself (and none over
+        the full input tensor for scales)."""
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._stack()
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 4)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [x], train=False))
+
+        def fwd(qv, x):
+            with quantized("int8_static"):
+                return model.apply(qv, x, train=False)
+
+        def collect(jxp, out):
+            for e in jxp.eqns:
+                if e.primitive.name in ("reduce_max", "reduce_min"):
+                    out.append(e)
+                for v in e.params.values():
+                    if hasattr(v, "jaxpr"):
+                        collect(v.jaxpr, out)
+            return out
+
+        reduces = collect(jax.make_jaxpr(fwd)(qv, x).jaxpr, [])
+        assert not reduces, reduces
+
+    def test_out_of_range_inputs_saturate(self, rng):
+        """Inputs beyond the calibrated range clip to ±127 — outputs stay
+        finite (saturation, not wraparound)."""
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._stack()
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 4)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [x], train=False))
+        with quantized("int8_static"):
+            out = model.apply(qv, 50.0 * x, train=False)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_static_predictor_runs(self, rng):
+        from tmv_tpu.models.detector_harness import make_yolo_predict
+        from tmv_tpu.models.yolo_v3 import YoloV3
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        size = 64
+        anchors = np.asarray(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = YoloV3(classes_num=3)
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, size, size, 3)), train=False)
+        v = {"params": jax.tree.map(lambda t: t * 0.2, v["params"]),
+             "batch_stats": v["batch_stats"]}
+        img = jnp.asarray(
+            rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [img], train=False))
+        predict = make_yolo_predict(model, (size, size), anchors, 3,
+                                    confidence_thresh=0.0, scores_thresh=0.0,
+                                    max_output_size=8, quant="int8_static")
+        boxes, ids, scores, valid = predict(qv, img)
+        assert np.isfinite(np.asarray(scores)[np.asarray(valid)]).all()
+        assert np.asarray(valid).any()
+
+
 @pytest.mark.slow  # traces full YOLOv4 under the int8 flag
 class TestQuantYoloStack:
     def test_yolov4_forward_under_quant(self, rng):

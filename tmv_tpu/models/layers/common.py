@@ -111,6 +111,10 @@ class ConvBN(nn.Module):
     Under ``with tmv_tpu.quant.quantized():`` (trace-time flag, eval only)
     the conv runs as a dynamic-int8 MXU op with the BN affine folded into
     the dequantization (`quant/dynamic.py`); variable tree is unchanged.
+    ``quantized("calib")`` taps per-site input absmax into a
+    ``quant_stats`` collection and ``quantized("int8_static")`` consumes
+    the calibrated ``quant`` collection with pre-quantized weights
+    (`quant/static.py`) — no runtime statistics passes.
     """
 
     filters: int
@@ -125,7 +129,8 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         from tmv_tpu.quant.dynamic import dynamic_int8_conv, quant_mode
 
-        if quant_mode() == "int8" and not train:
+        mode = quant_mode()
+        if mode in ("int8", "int8_static") and not train:
             strides = _pair(self.strides)
             kernel = _ConvKernelHolder(
                 self.filters, _pair(self.kernel_size), x.shape[-1],
@@ -139,9 +144,31 @@ class ConvBN(nn.Module):
                 padding = "VALID"
             else:
                 padding = "SAME"
-            y = dynamic_int8_conv(x, kernel, strides, padding,
-                                  out_scale=factor, out_offset=offset)
+            if mode == "int8_static":
+                from tmv_tpu.quant.static import static_int8_conv
+
+                in_absmax = self.variable(
+                    "quant", "in_absmax", lambda: jnp.ones(())).value
+                kernel_q = self.variable(
+                    "quant", "kernel_q",
+                    lambda: jnp.zeros(kernel.shape, jnp.int8)).value
+                w_absmax = self.variable(
+                    "quant", "w_absmax",
+                    lambda: jnp.ones((self.filters,))).value
+                y = static_int8_conv(
+                    x, kernel_q, in_absmax, w_absmax, strides, padding,
+                    out_scale=factor, out_offset=offset)
+            else:
+                y = dynamic_int8_conv(x, kernel, strides, padding,
+                                      out_scale=factor, out_offset=offset)
             return ACTIVATIONS[self.act](y.astype(self.dtype))
+
+        if mode == "calib" and not train:
+            # calibration: float forward + per-site input-absmax tap
+            self.sow("quant_stats", "in_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros(()),
+                     reduce_fn=jnp.maximum)
 
         x = DarknetConv(
             self.filters, self.kernel_size, self.strides,

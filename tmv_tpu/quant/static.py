@@ -1,0 +1,171 @@
+"""Static-calibration int8 quantization for the serving path.
+
+The round-2 dynamic-int8 verdict (PARITY §6) was a measured e2e loss
+(0.84×/0.79× on YOLOv4): the model is bandwidth-bound (~16% MXU), and the
+runtime per-conv absmax pass adds a full HBM read per layer that outweighs
+the int8 MXU gain.  Static calibration removes every runtime statistics
+pass and attacks the *bandwidth* bound instead of the MXU bound:
+
+- activation scales are calibrated offline (one absmax per conv input,
+  max-reduced over a calibration set) and stored in a ``quant`` variable
+  collection — no runtime reduction;
+- weights are pre-quantized host-side (per-output-channel absmax int8)
+  into the same collection — no runtime weight pass;
+- each conv then consumes ``quantize(x)`` where the quantize is a pure
+  elementwise op that XLA fuses into the *producer's* epilogue
+  (dequant → BN affine → mish/leaky → requantize is one fused elementwise
+  chain), so inter-conv activations can materialize in HBM as int8 —
+  halving the dominant traffic vs bf16.
+
+Checkpoint compatibility: ``params``/``batch_stats`` trees are untouched;
+calibration emits an *additional* ``quant`` collection mirroring the
+ConvBN module paths.  Trace the model under ``quantized("int8_static")``
+and pass the prepared variables.
+
+No reference counterpart — a new TPU-native capability (the reference
+serves float32 Keras models, `AIServer/ai_api/views/object_detection.py`).
+"""
+
+from typing import Any, Callable, Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUANT_COLLECTION = "quant"
+CALIB_COLLECTION = "quant_stats"
+
+
+def calibrate_absmax(
+    apply_fn: Callable[..., Any],
+    variables: Dict,
+    batches: Iterable,
+) -> Dict:
+    """Run ``apply_fn`` over ``batches`` in calibration mode and return the
+    per-conv-input absmax tree (nested dict mirroring module paths, leaf
+    key ``in_absmax``).
+
+    ``apply_fn(variables, batch, mutable)`` must run the model forward in
+    eval mode with ``mutable`` passed through to ``model.apply`` (see
+    :func:`calibrate_model`).  The enclosing code must NOT already be
+    inside a ``quantized()`` context.
+    """
+    from tmv_tpu.quant.dynamic import quantized
+
+    acc = None
+    with quantized("calib"):
+        for batch in batches:
+            _, aux = apply_fn(variables, batch, [CALIB_COLLECTION])
+            stats = jax.tree.map(np.asarray, aux[CALIB_COLLECTION])
+            acc = stats if acc is None else jax.tree.map(
+                np.maximum, acc, stats)
+    if acc is None:
+        raise ValueError("calibration set is empty")
+    return acc
+
+
+def calibrate_model(model, variables: Dict, batches: Iterable,
+                    **apply_kwargs) -> Dict:
+    """Convenience wrapper: calibrate a flax model's ``__call__`` forward.
+
+    ``batches`` yields image arrays; extra kwargs (e.g. ``train=False``)
+    are forwarded to ``model.apply``.
+    """
+
+    def apply_fn(v, batch, mutable):
+        return model.apply(v, batch, mutable=mutable, **apply_kwargs)
+
+    return calibrate_absmax(apply_fn, variables, batches)
+
+
+def _walk(tree: Dict, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def _get(tree: Dict, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set(tree: Dict, path, value):
+    for k in path[:-1]:
+        tree = tree.setdefault(k, {})
+    tree[path[-1]] = value
+
+
+def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
+                                  margin: float = 1.0) -> Dict:
+    """Bake calibrated scales + pre-quantized weights into a ``quant``
+    collection alongside the existing variables.
+
+    Args:
+        variables: ``{"params": ..., "batch_stats": ...}`` float variables.
+        absmax_tree: output of :func:`calibrate_absmax`.
+        margin: multiplier on the calibrated absmax (headroom for inputs
+            outside the calibration set; 1.0 = exact calibration max).
+
+    Returns a NEW variables dict with the ``quant`` collection added;
+    ``params``/``batch_stats`` are shared, not copied.
+    """
+    params = variables["params"]
+    quant: Dict = {}
+    for path, absmax in _walk(absmax_tree):
+        # sow leaf path: (<module>..., "in_absmax"); with reduce_fn the
+        # leaf is the scalar itself (no tuple wrapper on newer flax, a
+        # 1-tuple on older — normalize).
+        if isinstance(absmax, (tuple, list)):
+            absmax = absmax[0]
+        site = path[:-1]
+        kernel = np.asarray(
+            _get(params, site + ("DarknetConv_0", "Conv_0", "kernel")))
+        w_absmax = np.maximum(
+            np.max(np.abs(kernel), axis=(0, 1, 2)), 1e-12
+        ).astype(np.float32)
+        kernel_q = np.clip(
+            np.round(kernel * (127.0 / w_absmax)), -127, 127
+        ).astype(np.int8)
+        _set(quant, site + ("in_absmax",),
+             jnp.float32(max(float(absmax) * margin, 1e-6)))
+        _set(quant, site + ("kernel_q",), jnp.asarray(kernel_q))
+        _set(quant, site + ("w_absmax",), jnp.asarray(w_absmax))
+    out = dict(variables)
+    out[QUANT_COLLECTION] = quant
+    return out
+
+
+def static_int8_conv(
+    x,
+    kernel_q,
+    in_absmax,
+    w_absmax,
+    strides=(1, 1),
+    padding="SAME",
+    out_scale=None,
+    out_offset=None,
+):
+    """int8×int8→int32 convolution with *static* activation scale.
+
+    The input quantize is a pure elementwise op (static scale — no
+    data-dependent reduction), so XLA fuses it into the producing op's
+    epilogue and the conv reads an int8 HBM buffer.
+    """
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (127.0 / in_absmax)),
+        -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, kernel_q, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    deq = (in_absmax / 127.0) * (w_absmax.astype(jnp.float32) / 127.0)
+    if out_scale is not None:
+        deq = deq * out_scale.astype(jnp.float32)
+    y = acc.astype(jnp.float32) * deq
+    if out_offset is not None:
+        y = y + out_offset.astype(jnp.float32)
+    return y
