@@ -122,6 +122,17 @@ class TestServeFlagValidation:
             self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
                          "--int8", "--batch", "4"])
 
+    def test_int8_static_exclusions(self):
+        with pytest.raises(SystemExit):
+            self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
+                         "--int8", "--int8Static", "calib/"])
+        with pytest.raises(SystemExit):
+            self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
+                         "--int8Static", "calib/", "--batch", "4"])
+        with pytest.raises(SystemExit):
+            self._parse(["--classesFile", "c.txt",
+                         "--artifact", "m.tmvx", "--int8Static", "calib/"])
+
     def test_anchors_required_without_artifact(self):
         with pytest.raises(SystemExit):
             self._parse(["--classesFile", "c.txt"])
@@ -130,6 +141,30 @@ class TestServeFlagValidation:
         args = self._parse(["--classesFile", "c.txt",
                             "--artifact", "m.tmvx"])
         assert args.artifact == "m.tmvx" and args.anchorsFile is None
+
+
+class TestServeCalibration:
+    def test_calibrate_bakes_quant_collection(self, rng, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image as PILImage
+
+        from tmv_tpu.cli.serve import _calibrate
+        from tmv_tpu.models.yolo_v3 import YoloV3
+
+        for i in range(2):
+            PILImage.fromarray(
+                rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            ).save(tmp_path / f"im{i}.jpg")
+        model = YoloV3(classes_num=2)
+        size = 64
+        v = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                       train=False)
+        qv = _calibrate(model, v, str(tmp_path), (size, size))
+        assert "quant" in qv
+        leaves = jax.tree_util.tree_leaves(qv["quant"])
+        assert leaves and all(
+            np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
 
 
 class TestMicroBatcher:

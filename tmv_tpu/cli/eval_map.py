@@ -57,7 +57,15 @@ def parse_args():
     p.add_argument("--scoresThresh", type=float, default=0.2)
     p.add_argument("--iouThresh", type=float, default=0.5)
     p.add_argument("--bf16", action="store_true")
-    return p.parse_args()
+    p.add_argument("--int8Static", action="store_true",
+                   help="(yolo family) evaluate the static-calibration "
+                        "int8 serving path: calibrate activation scales on "
+                        "the first 16 eval images, then score the int8 "
+                        "predictor — measures the quantization mAP delta")
+    args = p.parse_args()
+    if args.int8Static and args.family != "yolo":
+        p.error("--int8Static is only implemented for --family yolo")
+    return args
 
 
 def _restore_variables(args, model, x0):
@@ -129,11 +137,23 @@ def eval_yolo(args):
         dtype=dtype)
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
     variables = _restore_variables(args, model, x0)
+    quant = "off"
+    if args.int8Static:
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        calib = [b["image"] for _, b in zip(range(16), pipeline)]
+        print(f"calibrating int8 scales on {len(calib)} images...")
+        variables = prepare_static_int8_variables(
+            variables, calibrate_model(model, variables, calib,
+                                       train=False))
+        quant = "int8_static"
     predict = make_yolo_predict(
         model, image_wh, anchors, classes_num,
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
-        iou_type=iou_type,
+        iou_type=iou_type, quant=quant,
     )
 
     n = args.maxImages or pipeline.labels_num
@@ -209,7 +229,8 @@ def main():
     else:
         result = eval_efficientdet(args)
     result.update({"family": args.family, "mode": args.mode,
-                   "variant": args.variant})
+                   "variant": args.variant,
+                   "quant": "int8_static" if args.int8Static else "off"})
     print(json.dumps(result))
 
 

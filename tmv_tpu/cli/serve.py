@@ -33,7 +33,12 @@ def parse_args():
     p.add_argument("--int8", action="store_true",
                    help="experimental dynamic-int8 conv path; on v5e the "
                         "bandwidth-bound YOLO models run ~0.8x bf16 "
-                        "(see PARITY §6) — bf16 is the production path")
+                        "(see PARITY §6) — use --int8Static instead")
+    p.add_argument("--int8Static", metavar="CALIB_DIR",
+                   help="static-calibration int8: calibrate activation "
+                        "scales over the images in CALIB_DIR, pre-quantize "
+                        "weights, serve the int8 predictor (measured "
+                        "1.46x bf16 on YOLOv4 @640, PARITY §6)")
     p.add_argument("--artifact", default=None,
                    help="serve a .tmvx export (cli/export_model.py) — "
                         "skips model build + checkpoint load")
@@ -42,6 +47,7 @@ def parse_args():
     if args.artifact:
         bad = [f for f, on in [("--batch", args.batch > 1),
                                ("--int8", args.int8),
+                               ("--int8Static", bool(args.int8Static)),
                                ("--bf16", args.bf16)] if on]
         if bad:
             p.error(f"{', '.join(bad)} cannot be combined with --artifact: "
@@ -50,8 +56,10 @@ def parse_args():
     else:
         if args.anchorsFile is None:
             p.error("--anchorsFile is required (omit only with --artifact)")
-        if args.int8 and args.batch > 1:
-            p.error("--int8 is only supported with --batch 1 "
+        if args.int8 and args.int8Static:
+            p.error("--int8 and --int8Static are mutually exclusive")
+        if (args.int8 or args.int8Static) and args.batch > 1:
+            p.error("--int8/--int8Static are only supported with --batch 1 "
                     "(the batched predictor has no quantized path)")
     return args
 
@@ -77,6 +85,37 @@ def serve_artifact(args):
     print("artifact predictor warm")
     service = DetectionService(predict_fn, None, classes_name, image_wh)
     run_server(service, args.host, args.port)
+
+
+def _calibrate(model, variables, calib_dir, image_wh, max_images=32):
+    """Calibrate static-int8 activation scales over a directory of images
+    (letterboxed exactly like serving inputs) and bake the quant
+    collection (`tmv_tpu/quant/static.py`)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from tmv_tpu.quant import calibrate_model, prepare_static_int8_variables
+    from tmv_tpu.utils import image_helper as ImageHelper
+
+    paths = sorted(
+        os.path.join(calib_dir, f) for f in os.listdir(calib_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not paths:
+        raise SystemExit(f"--int8Static: no images in {calib_dir}")
+    batches = []
+    for p in paths[:max_images]:
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        boxed, _, _ = ImageHelper.proportional_resize(
+            img, np.int32(image_wh), bg_color=(0, 0, 0))
+        batches.append(jnp.asarray(boxed.astype(np.float32)[None] / 255.0))
+    print(f"calibrating int8 scales on {len(batches)} images...")
+    qv = prepare_static_int8_variables(
+        variables, calibrate_model(model, variables, batches, train=False))
+    print("int8 calibration done")
+    return qv
 
 
 def main():
@@ -128,10 +167,15 @@ def main():
                                max_wait_ms=args.batchWaitMs)
         predict_fn = batcher.as_predict_fn()
     else:
+        quant = ("int8_static" if args.int8Static
+                 else "int8" if args.int8 else "off")
+        if args.int8Static:
+            variables = _calibrate(model, variables, args.int8Static,
+                                   image_wh)
         predict_fn = make_yolo_predict(
             model, image_wh, anchors, classes_num,
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
-            iou_type=iou_type, quant="int8" if args.int8 else "off",
+            iou_type=iou_type, quant=quant,
         )
         # warm the jit cache before accepting traffic (import-time parity)
         predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
