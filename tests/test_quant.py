@@ -201,6 +201,90 @@ class TestStaticInt8:
         assert np.asarray(valid).any()
 
 
+class TestStaticInt8EfficientNet:
+    """Static-int8 on the EfficientNet backbone (Stem + MBConv sites,
+    multi-conv modules → suffixed quant leaves)."""
+
+    def _backbone(self):
+        from tmv_tpu.models.efficientdet.backbone import BackboneModel
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        return BackboneModel(blocks_args=tuple(default_blocks_args()[:3]))
+
+    def test_param_tree_identical(self, rng):
+        model = self._backbone()
+        x = jnp.zeros((1, 32, 32, 3))
+        v1 = model.init(jax.random.key(0), x, train=False)
+        with quantized("int8_static"):
+            v2 = model.init(jax.random.key(0), x, train=False)
+        p1 = jax.tree_util.tree_leaves_with_path(
+            {k: v1[k] for k in ("params", "batch_stats")})
+        p2 = jax.tree_util.tree_leaves_with_path(
+            {k: v2[k] for k in ("params", "batch_stats")})
+        assert [k for k, _ in p1] == [k for k, _ in p2]
+        for (_, a), (_, b) in zip(p1, p2):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_calibrate_prepare_and_match_float(self, rng):
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._backbone()
+        x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        v["batch_stats"] = jax.tree.map(
+            lambda t: t + 0.2 * jnp.arange(t.shape[0], dtype=t.dtype)
+            / t.shape[0], v["batch_stats"])
+        absmax = calibrate_model(model, v, [x, x * 0.7], train=False)
+        # Stem (1 conv) + blocks: expand?+dw+project per block
+        n_taps = len(jax.tree_util.tree_leaves(absmax))
+        assert n_taps >= 7, n_taps
+        qv = prepare_static_int8_variables(v, absmax)
+        ref = model.apply(v, x, train=False)
+        with quantized("int8_static"):
+            out = model.apply(qv, x, train=False)
+        for a, b in zip(ref, out):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all()
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.08, rel
+
+    @pytest.mark.slow  # traces full D0 twice (calib + int8)
+    def test_full_net_eval_harness_int8(self, rng):
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_pred_gt,
+        )
+        from tmv_tpu.ops.anchors import Anchors
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.num_classes = 4
+        cfg.levels_size = [64]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        model = EfficientDetNet(config=cfg)
+        anchors = Anchors(cfg.min_level, cfg.max_level, (64, 64),
+                          cfg.num_scales, cfg.aspect_ratios,
+                          cfg.anchor_scale)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [x], train=False))
+        collect = make_efficientdet_pred_gt(model, anchors,
+                                            quant="int8_static")
+        batch = {"image": x, "raw": [(np.zeros((0, 4), np.float32),
+                                      np.zeros((0,), np.int64))]}
+        (pred, _), = collect(qv, batch)
+        assert np.isfinite(np.asarray(pred)).all()
+
+
 @pytest.mark.slow  # traces full YOLOv4 under the int8 flag
 class TestQuantYoloStack:
     def test_yolov4_forward_under_quant(self, rng):

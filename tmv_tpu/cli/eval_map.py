@@ -58,14 +58,12 @@ def parse_args():
     p.add_argument("--iouThresh", type=float, default=0.5)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--int8Static", action="store_true",
-                   help="(yolo family) evaluate the static-calibration "
-                        "int8 serving path: calibrate activation scales on "
-                        "the first 16 eval images, then score the int8 "
-                        "predictor — measures the quantization mAP delta")
-    args = p.parse_args()
-    if args.int8Static and args.family != "yolo":
-        p.error("--int8Static is only implemented for --family yolo")
-    return args
+                   help="evaluate the static-calibration int8 serving "
+                        "path: calibrate activation scales on the first "
+                        "16 eval images, then score the int8 predictor — "
+                        "measures the quantization mAP delta (yolo: whole "
+                        "net; efficientdet: backbone convs)")
+    return p.parse_args()
 
 
 def _restore_variables(args, model, x0):
@@ -208,7 +206,19 @@ def eval_efficientdet(args):
     model = EfficientDetNet(config=cfg, dtype=dtype)
     x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     variables = _restore_variables(args, model, x0)
-    collect = make_efficientdet_pred_gt(model, anchors)
+    quant = "off"
+    if args.int8Static:
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        calib = [b["image"] for _, b in zip(range(16), pipeline)]
+        print(f"calibrating int8 scales on {len(calib)} images...")
+        variables = prepare_static_int8_variables(
+            variables, calibrate_model(model, variables, calib,
+                                       train=False))
+        quant = "int8_static"
+    collect = make_efficientdet_pred_gt(model, anchors, quant=quant)
 
     n = args.maxImages or pipeline.labels_num
     data = []

@@ -75,9 +75,21 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tmv_tpu.quant.dynamic import quant_mode
+
         filters = round_filters(
             self.stem_filters, self.width_coefficient, self.depth_divisor
         )
+        mode = quant_mode()
+        if mode == "int8_static" and not train:
+            kshape = (3, 3, x.shape[-1], filters)
+            _ConvKernelParams(kshape, name="Conv_0")()
+            bn = _BNStatsParams(filters, name="BatchNorm_0")()
+            y = _static_int8_site(self, "Conv_0", x, kshape, (2, 2), bn,
+                                  self.bn_epsilon)
+            return nn.swish(y.astype(self.dtype))
+        if mode == "calib" and not train:
+            _sow_calib(self, "Conv_0", x)
         x = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, kernel_init=conv_kernel_init,
                     dtype=self.dtype)(x)
@@ -85,6 +97,49 @@ class Stem(nn.Module):
                          momentum=self.bn_momentum, epsilon=self.bn_epsilon,
                          dtype=self.dtype)(x)
         return nn.swish(x)
+
+
+class _ConvKernelParams(nn.Module):
+    """Param-holder with ``nn.Conv``'s variable layout (kernel only), so
+    the static-int8 path keeps byte-identical checkpoints."""
+
+    shape: Sequence[int]
+    init: Any = conv_kernel_init
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.init, tuple(self.shape))
+
+
+def _sow_calib(mdl: nn.Module, name: str, x) -> None:
+    """Tap the per-site conv-input absmax during a ``quantized("calib")``
+    forward (consumed by `quant/static.py::prepare_static_int8_variables`)."""
+    mdl.sow("quant_stats", f"in_absmax_{name}",
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
+
+
+def _static_int8_site(mdl: nn.Module, name: str, x, kernel_shape,
+                      strides, bn, bn_epsilon, groups: int = 1):
+    """One conv+BN site on the static-int8 path: reads the calibrated
+    ``quant`` collection (suffixed by conv name), folds the BN affine into
+    the dequant, returns pre-activation float32 (`quant/static.py`)."""
+    from tmv_tpu.quant.static import static_int8_conv
+
+    in_absmax = mdl.variable(
+        "quant", f"in_absmax_{name}", lambda: jnp.ones(())).value
+    kernel_q = mdl.variable(
+        "quant", f"kernel_q_{name}",
+        lambda: jnp.zeros(tuple(kernel_shape), jnp.int8)).value
+    w_absmax = mdl.variable(
+        "quant", f"w_absmax_{name}",
+        lambda: jnp.ones((kernel_shape[-1],))).value
+    scale, bias, mean, var = bn
+    factor = scale / jnp.sqrt(var + bn_epsilon)
+    offset = bias - mean * factor
+    return static_int8_conv(
+        x, kernel_q, in_absmax, w_absmax, tuple(strides), "SAME",
+        out_scale=factor, out_offset=offset, feature_group_count=groups)
 
 
 class _DWKernelParams(nn.Module):
@@ -137,9 +192,14 @@ class MBConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from tmv_tpu.quant.dynamic import quant_mode
+
         args = self.block_args
         filters = args.input_filters * args.expand_ratio
         ci = bi = 0  # explicit Conv_i/BatchNorm_i names (= flax auto order)
+        mode = quant_mode()
+        use_q = mode == "int8_static" and not train
+        calib = mode == "calib" and not train
 
         def bn(y, name):
             return nn.BatchNorm(use_running_average=not train,
@@ -148,15 +208,34 @@ class MBConvBlock(nn.Module):
                                 name=name)(y)
 
         if args.expand_ratio != 1:
-            x = nn.Conv(filters, (1, 1), padding="SAME", use_bias=False,
-                        kernel_init=conv_kernel_init, dtype=self.dtype,
-                        name=f"Conv_{ci}")(x)
-            x = nn.swish(bn(x, f"BatchNorm_{bi}"))
+            if use_q:
+                kshape = (1, 1, x.shape[-1], filters)
+                _ConvKernelParams(kshape, name=f"Conv_{ci}")()
+                bnv = _BNStatsParams(filters, name=f"BatchNorm_{bi}")()
+                x = nn.swish(_static_int8_site(
+                    self, f"Conv_{ci}", x, kshape, (1, 1), bnv,
+                    self.bn_epsilon).astype(self.dtype))
+            else:
+                if calib:
+                    _sow_calib(self, f"Conv_{ci}", x)
+                x = nn.Conv(filters, (1, 1), padding="SAME", use_bias=False,
+                            kernel_init=conv_kernel_init, dtype=self.dtype,
+                            name=f"Conv_{ci}")(x)
+                x = nn.swish(bn(x, f"BatchNorm_{bi}"))
             ci += 1
             bi += 1
 
-        # depthwise k×k (+BN+swish): fused Pallas kernel on the eval path
-        if self.fused_dw_eval and not train:
+        # depthwise k×k (+BN+swish): int8 grouped conv on the static-int8
+        # path; fused Pallas kernel on the (opt-in) fused eval path
+        if use_q:
+            kshape = (args.kernel_size, args.kernel_size, 1, filters)
+            _ConvKernelParams(kshape, depthwise_kernel_init,
+                              name=f"Conv_{ci}")()
+            bnv = _BNStatsParams(filters, name=f"BatchNorm_{bi}")()
+            x = nn.swish(_static_int8_site(
+                self, f"Conv_{ci}", x, kshape, tuple(args.strides), bnv,
+                self.bn_epsilon, groups=filters).astype(self.dtype))
+        elif self.fused_dw_eval and not train:
             from tmv_tpu.kernels.dwconv_pallas import fused_dw_bn_swish
 
             kernel = _DWKernelParams(args.kernel_size, filters,
@@ -168,6 +247,8 @@ class MBConvBlock(nn.Module):
             x = fused_dw_bn_swish(x, kernel[:, :, 0, :], fscale, foffset,
                                   stride=tuple(args.strides)[0])
         else:
+            if calib:
+                _sow_calib(self, f"Conv_{ci}", x)
             x = nn.Conv(filters, (args.kernel_size, args.kernel_size),
                         strides=tuple(args.strides), padding="SAME",
                         feature_group_count=filters, use_bias=False,
@@ -180,6 +261,16 @@ class MBConvBlock(nn.Module):
         num_reduced = max(1, int(args.input_filters * args.se_ratio))
         x = SE(num_reduced, filters, self.dtype, name="SE_0")(x)
 
+        if use_q:
+            kshape = (1, 1, x.shape[-1], args.output_filters)
+            _ConvKernelParams(kshape, name=f"Conv_{ci}")()
+            bnv = _BNStatsParams(args.output_filters,
+                                 name=f"BatchNorm_{bi}")()
+            return _static_int8_site(
+                self, f"Conv_{ci}", x, kshape, (1, 1), bnv,
+                self.bn_epsilon).astype(self.dtype)
+        if calib:
+            _sow_calib(self, f"Conv_{ci}", x)
         x = nn.Conv(args.output_filters, (1, 1), padding="SAME",
                     use_bias=False, kernel_init=conv_kernel_init,
                     dtype=self.dtype, name=f"Conv_{ci}")(x)

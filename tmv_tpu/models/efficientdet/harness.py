@@ -15,7 +15,7 @@ import numpy as np
 from tmv_tpu.ops.map_eval import get_map_one
 
 
-def make_efficientdet_pred_gt(model, anchors):
+def make_efficientdet_pred_gt(model, anchors, quant: str = "off"):
     """Returns ``collect(variables, batch) -> [(pred, gt), ...]`` per image.
 
     ``pred`` rows are ``[y1, x1, y2, x2, class_id, score]`` after decode →
@@ -24,11 +24,23 @@ def make_efficientdet_pred_gt(model, anchors):
     reference's ``test_step`` compares (`efficientdet_net_train.py:135-169`).
     ``batch`` must carry ``raw``: list of (boxes_yxyx, classes) per image
     (``EfficientDetPipeline(with_raw_boxes=True)``).
+
+    ``quant="int8_static"`` traces the backbone with calibrated static-int8
+    convs (`tmv_tpu/quant/static.py`); pass variables prepared by
+    ``prepare_static_int8_variables``.
     """
+
+    def _apply(variables, images):
+        if quant != "off":
+            from tmv_tpu.quant import quantized
+
+            with quantized(quant):
+                return model.apply(variables, images, train=False)
+        return model.apply(variables, images, train=False)
 
     @jax.jit
     def forward_decode(variables, images):
-        boxes_out, classes_out = model.apply(variables, images, train=False)
+        boxes_out, classes_out = _apply(variables, images)
         decoded = anchors.convert_outputs_boxes(
             tuple(b.astype(jax.numpy.float32) for b in boxes_out))
         return decoded, tuple(
@@ -64,14 +76,14 @@ def make_efficientdet_pred_gt(model, anchors):
     return collect
 
 
-def make_efficientdet_eval(model, anchors, loss_fn):
+def make_efficientdet_eval(model, anchors, loss_fn, quant: str = "off"):
     """Returns ``eval_step(variables, batch) -> {'loss', 'mAP'}``.
 
     ``batch`` must carry ``raw``: list of (boxes_yxyx, classes) per image
     (``EfficientDetPipeline(with_raw_boxes=True)``).
     """
     cfg = model.config
-    collect = make_efficientdet_pred_gt(model, anchors)
+    collect = make_efficientdet_pred_gt(model, anchors, quant=quant)
 
     def eval_step(variables, batch: Dict):
         maps = [

@@ -115,24 +115,33 @@ def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
     params = variables["params"]
     quant: Dict = {}
     for path, absmax in _walk(absmax_tree):
-        # sow leaf path: (<module>..., "in_absmax"); with reduce_fn the
-        # leaf is the scalar itself (no tuple wrapper on newer flax, a
-        # 1-tuple on older — normalize).
+        # sow leaf path: (<module>..., "in_absmax[_<ConvName>]"); with
+        # reduce_fn the leaf is the scalar itself (no tuple wrapper on
+        # newer flax, a 1-tuple on older — normalize).
         if isinstance(absmax, (tuple, list)):
             absmax = absmax[0]
-        site = path[:-1]
-        kernel = np.asarray(
-            _get(params, site + ("DarknetConv_0", "Conv_0", "kernel")))
+        site, leaf = path[:-1], path[-1]
+        if leaf == "in_absmax":
+            # single-conv module (ConvBN): kernel under its DarknetConv
+            kernel_path = site + ("DarknetConv_0", "Conv_0", "kernel")
+            suffix = ""
+        else:
+            # multi-conv module (MBConvBlock/Stem/SeparableConv): the sow
+            # leaf carries the conv submodule name — kernel lives there
+            conv_name = leaf[len("in_absmax_"):]
+            kernel_path = site + (conv_name, "kernel")
+            suffix = "_" + conv_name
+        kernel = np.asarray(_get(params, kernel_path))
         w_absmax = np.maximum(
             np.max(np.abs(kernel), axis=(0, 1, 2)), 1e-12
         ).astype(np.float32)
         kernel_q = np.clip(
             np.round(kernel * (127.0 / w_absmax)), -127, 127
         ).astype(np.int8)
-        _set(quant, site + ("in_absmax",),
+        _set(quant, site + ("in_absmax" + suffix,),
              jnp.float32(max(float(absmax) * margin, 1e-6)))
-        _set(quant, site + ("kernel_q",), jnp.asarray(kernel_q))
-        _set(quant, site + ("w_absmax",), jnp.asarray(w_absmax))
+        _set(quant, site + ("kernel_q" + suffix,), jnp.asarray(kernel_q))
+        _set(quant, site + ("w_absmax" + suffix,), jnp.asarray(w_absmax))
     out = dict(variables)
     out[QUANT_COLLECTION] = quant
     return out
@@ -147,6 +156,7 @@ def static_int8_conv(
     padding="SAME",
     out_scale=None,
     out_offset=None,
+    feature_group_count=1,
 ):
     """int8×int8→int32 convolution with *static* activation scale.
 
@@ -161,6 +171,7 @@ def static_int8_conv(
         x.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(
         xq, kernel_q, strides, padding, dimension_numbers=dn,
+        feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32)
     deq = (in_absmax / 127.0) * (w_absmax.astype(jnp.float32) / 127.0)
     if out_scale is not None:

@@ -110,10 +110,85 @@ def bench(size=416, batch=16, results=None):
         results[f"yolov4_{size}_int8_static_head_drift"] = round(d_s, 3)
 
 
+def bench_d0(size=512, batch=32, results=None):
+    """EfficientDet-D0: static-int8 backbone convs (Stem/MBConv sites —
+    the backbone is 19.0 of 21.6 ms, PARITY §6) vs bf16.  BiFPN/heads
+    stay float in both."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmv_tpu.models.efficientdet import (
+        EfficientDetNet, get_efficientdet_config,
+    )
+    from tmv_tpu.quant import (
+        calibrate_model, prepare_static_int8_variables, quantized,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = get_efficientdet_config("efficientdet-d0")
+    cfg.image_size = size
+    cfg.levels_size = [size]
+    for _ in range(cfg.max_level):
+        cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+    model = EfficientDetNet(config=cfg, dtype=jnp.bfloat16)
+    v = model.init(jax.random.key(0),
+                   jnp.zeros((1, size, size, 3)), train=False)
+    x = jnp.asarray(
+        rng.uniform(size=(batch, size, size, 3)).astype(np.float32))
+    calib = [jnp.asarray(rng.uniform(size=(2, size, size, 3))
+                         .astype(np.float32)) for _ in range(3)]
+    qv = prepare_static_int8_variables(
+        v, calibrate_model(model, v, calib, train=False))
+
+    def make_chain(mode):
+        def fwd(vv, a):
+            boxes, classes = model.apply(vv, a, train=False)
+            return sum(jnp.sum(h.astype(jnp.float32))
+                       for h in list(boxes) + list(classes))
+
+        with quantized(mode):
+            @jax.jit
+            def chain(vv, a, k):
+                def body(i, carry):
+                    s = fwd(vv, carry)
+                    return carry + (s * 1e-12).astype(carry.dtype)
+                return jnp.sum(
+                    jax.lax.fori_loop(0, k, body, a).astype(jnp.float32))
+
+            _ = chain.lower(qv if mode == "int8_static" else v, x, 1)
+        return chain
+
+    chain_p = make_chain("off")
+    chain_s = make_chain("int8_static")
+    t_p = slope_time(lambda k: np.asarray(chain_p(v, x, k)))
+    t_s = slope_time(lambda k: np.asarray(chain_s(qv, x, k)))
+
+    model32 = EfficientDetNet(config=cfg, dtype=jnp.float32)
+    rb, rc = model32.apply(v, x[:1], train=False)
+    with quantized("int8_static"):
+        ob, oc = jax.jit(
+            lambda v_, a: model.apply(v_, a, train=False))(qv, x[:1])
+    drift = max(
+        float(np.max(np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b, np.float32)))
+              / (np.max(np.abs(np.asarray(a, np.float32))) + 1e-9))
+        for a, b in zip(list(rb) + list(rc), list(ob) + list(oc)))
+
+    print(f"D0 @{size} b{batch}: bf16 {t_p*1e3:7.2f} ms "
+          f"({batch/t_p:.0f} img/s) | static-int8 {t_s*1e3:7.2f} ms "
+          f"({t_p/t_s:.2f}x, head drift {drift:.3f})")
+    if results is not None:
+        results[f"d0_{size}_bf16_ms"] = round(t_p * 1e3, 2)
+        results[f"d0_{size}_int8_static_speedup"] = round(t_p / t_s, 3)
+        results[f"d0_{size}_int8_static_head_drift"] = round(drift, 3)
+
+
 def main():
     results = {}
-    bench(416, results=results)
-    bench(640, results=results)
+    if "--d0-only" not in sys.argv:
+        bench(416, results=results)
+        bench(640, results=results)
+    bench_d0(512, results=results)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "baseline_measured.json")
     data = {}
