@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--earlyStopPatience", type=int, default=10,
                    help="epochs without train-loss improvement before "
                         "stopping (0 disables)")
+    p.add_argument("--deviceAug", action="store_true",
+                   help="run the blur/affine/noise augmentation on-device "
+                        "(jitted batch program, `data/device_aug.py`); the "
+                        "host only decodes+letterboxes — use when the host "
+                        "PIL staging cannot feed the chip")
     return p.parse_args()
 
 
@@ -80,6 +85,7 @@ def main():
         args.trainImagePath, args.trainData, args.classesFile,
         args.batchSize, anchors, cfg.num_classes,
         image_size=cfg.image_size, max_boxes=args.maxBoxes,
+        device_aug=args.deviceAug,
     )
 
     x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

@@ -31,7 +31,8 @@ class EfficientDetPipeline:
                  batch_size: int, anchors: Anchors, num_classes: int,
                  image_size: int = 512, max_boxes: int = 100,
                  augment: bool = True, label_mean: bool = True,
-                 seed: int = 0, with_raw_boxes: bool = False):
+                 seed: int = 0, with_raw_boxes: bool = False,
+                 device_aug: bool = False):
         self.classes, names_num = load_classes(classes_path)
         self.labels, self.labels_num = load_labels(
             label_path, image_path, self.classes)
@@ -42,9 +43,11 @@ class EfficientDetPipeline:
         self.max_boxes = max_boxes
         self.augment = augment
         self.with_raw_boxes = with_raw_boxes
+        self.device_aug = device_aug and augment
         self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
+        self.key = jax.random.key(seed)
 
         def targets_fn(boxes, classes, valid):
             return jax.vmap(
@@ -53,6 +56,25 @@ class EfficientDetPipeline:
             )(boxes, classes, valid)
 
         self._targets_fn = jax.jit(targets_fn)
+
+        if self.device_aug:
+            from tmv_tpu.data.device_aug import efficientdet_augment_one
+
+            def aug_targets_fn(images_u8, boxes, classes, valid, key):
+                keys = jax.random.split(key, images_u8.shape[0])
+
+                def per_image(img, b, c, v, k):
+                    img01, b, v = efficientdet_augment_one(
+                        img, b, v, k, image_size)
+                    by = b[:, jnp.asarray([1, 0, 3, 2])]  # xyxy → yxyx
+                    bt, ct, mt = anchors.generate_targets(
+                        by, c, num_classes, valid=v)
+                    return img01, bt, ct, mt
+
+                return jax.vmap(per_image)(images_u8, boxes, classes,
+                                           valid, keys)
+
+            self._aug_targets_fn = jax.jit(aug_targets_fn)
 
     def _get_random_data(self, label: Dict, seed: int = None):
         """``seed`` gives the item its own RNGs so staging can run on a
@@ -101,7 +123,64 @@ class EfficientDetPipeline:
         classes = np.asarray(label["classes"], np.int32)[mask] + 1
         return img.astype(np.float32) / 255.0, boxes, classes
 
+    def _stage_fixed(self, label: Dict):
+        """Host staging for the ``device_aug`` path: decode + letterbox to
+        the fixed network frame ONLY (native C++ decoder when built —
+        `native/preproc.cc`), uint8 out; all augmentation runs on-device
+        (`data/device_aug.py`).  Mirrors `yolo_pipeline._stage_one`."""
+        s = self.image_size
+        path = label["image_path"]
+        boxes = np.asarray(label["boxes"], np.float32).reshape(-1, 4)  # xyxy
+        img_u8 = None
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from tmv_tpu.native import available as native_available
+
+            if native_available():
+                from tmv_tpu.native import decode_letterbox
+
+                with open(path, "rb") as f:
+                    img01, meta = decode_letterbox(f.read(), (s, s))
+                pad_y, pad_x, src_h, src_w = (int(x) for x in meta)
+                ratio = max(src_w / s, src_h / s)
+                boxes = boxes / ratio + np.asarray(
+                    [pad_x, pad_y, pad_x, pad_y], np.float32)
+                img_u8 = (img01 * 255.0).astype(np.uint8)
+        if img_u8 is None:
+            img = image_helper.bytes_to_image(open(path, "rb").read())
+            img_u8, pts, _ = image_helper.proportional_resize(
+                img, (s, s), points=boxes.reshape(-1, 2))
+            boxes = np.asarray(pts, np.float32).reshape(-1, 4)
+        classes = [c + 1 for c in label["classes"]]  # background = 0
+        b, c, v = pad_labels(boxes, classes, self.max_boxes)
+        return img_u8, b, c, v
+
+    def _iter_device_aug(self) -> Iterator[Dict]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(self.sampler)
+        pool = (ThreadPoolExecutor(min(8, self.batch_size))
+                if self.batch_size > 1 else None)
+        while True:
+            labels = [next(it) for _ in range(self.batch_size)]
+            if pool is None:
+                staged = [self._stage_fixed(lb) for lb in labels]
+            else:
+                staged = list(pool.map(self._stage_fixed, labels))
+            imgs, boxes, classes, valid = (np.stack(z) for z in
+                                           zip(*staged))
+            self.key, sub = jax.random.split(self.key)
+            images01, boxes_t, classes_t, masks_t = self._aug_targets_fn(
+                jnp.asarray(imgs), jnp.asarray(boxes),
+                jnp.asarray(classes), jnp.asarray(valid), sub)
+            yield {"image": images01, "boxes": boxes_t,
+                   "classes": classes_t, "masks": masks_t}
+
     def __iter__(self) -> Iterator[Dict]:
+        if self.device_aug:
+            return self._iter_device_aug()
+        return self._iter_host_aug()
+
+    def _iter_host_aug(self) -> Iterator[Dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         it = iter(self.sampler)
