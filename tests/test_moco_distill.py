@@ -18,10 +18,36 @@ ANCHORS = np.array(
      [[10, 13], [16, 30], [33, 23]]], np.float32)
 
 
-@pytest.fixture(scope="module")
-def moco_setup():
-    model = ResNetYoloV3(out_filters=6)
-    size = 64
+def _tiny_detector(out_filters: int):
+    """Minimal 3-scale detector head stand-in: the MoCo/distill step and
+    labeler logic are model-agnostic (`make_moco_train_step` /
+    `make_pseudo_label_fn` accept any flax model with YOLO-shaped heads),
+    so smoke tests run on this instead of the full ResNet50V2 tower —
+    the real `ResNetYoloV3` is exercised in the slow tier."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        out_filters: int
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Conv(8, (3, 3), strides=(8, 8), padding="SAME")(x)
+            h = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.99, epsilon=1e-3)(h)
+            h = nn.relu(h)
+            h3 = nn.Conv(self.out_filters, (1, 1))(h)              # /8
+            h = nn.relu(nn.Conv(8, (3, 3), strides=(2, 2),
+                                padding="SAME")(h))
+            h2 = nn.Conv(self.out_filters, (1, 1))(h)              # /16
+            h = nn.relu(nn.Conv(8, (3, 3), strides=(2, 2),
+                                padding="SAME")(h))
+            h1 = nn.Conv(self.out_filters, (1, 1))(h)              # /32
+            return h1, h2, h3
+
+    return Tiny(out_filters)
+
+
+def _make_moco_setup(model, size):
     x = jnp.zeros((2, size, size, 3))
     variables = model.init(jax.random.key(0), x, train=False)
     heads = model.apply(variables, x, train=False)
@@ -32,6 +58,11 @@ def moco_setup():
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx, extra=extra)
     return model, state, tx, size
+
+
+@pytest.fixture(scope="module")
+def moco_setup():
+    return _make_moco_setup(_tiny_detector(6), 32)
 
 
 class TestPushQueue:
@@ -77,7 +108,7 @@ class TestDistillation:
                      "batch_stats": state.batch_stats}
         # classes_num must match out_filters = 3*(5+C) → C = -3? use model
         # with out_filters 6 → treat as anchors=3, C=-3 invalid; rebuild
-        model2 = ResNetYoloV3(out_filters=3 * (5 + 2))
+        model2 = _tiny_detector(3 * (5 + 2))
         v2 = model2.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
                          train=False)
         labeler = make_pseudo_label_fn(
@@ -131,6 +162,24 @@ class TestGraftParams:
         np.testing.assert_array_equal(out["a"]["w"], 1.0)
         np.testing.assert_array_equal(out["b"]["w"], 0.0)
         assert skipped == []
+
+
+@pytest.mark.slow  # full ResNet50V2 tower, 2 fwd + bwd traces
+class TestMocoRealModel:
+    def test_one_step_resnet_tower(self):
+        model, state, tx, size = _make_moco_setup(
+            ResNetYoloV3(out_filters=6), 64)
+        rng = np.random.default_rng(0)
+        batch = {
+            "query": jnp.asarray(
+                rng.uniform(size=(2, size, size, 3)).astype(np.float32)),
+            "key": jnp.asarray(
+                rng.uniform(size=(2, size, size, 3)).astype(np.float32)),
+        }
+        step = jax.jit(make_moco_train_step(model, tx))
+        new_state, metrics = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.extra.queue_ptr) == 2
 
 
 @pytest.mark.slow  # full finetune CLI e2e (compile-heavy)
