@@ -250,6 +250,49 @@ class TestStaticInt8EfficientNet:
             rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
             assert rel < 0.08, rel
 
+    def test_separable_conv_sites(self, rng):
+        """BiFPN/head SeparableConvs quantize themselves (depthwise +
+        pointwise sites, level-shared scales); the head ``predict`` conv
+        is pinned float."""
+        import flax.linen as nn
+
+        from tmv_tpu.models.efficientdet.heads import _PredictionNet
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = _PredictionNet(out_per_anchor=4, num_anchors=3,
+                               num_filters=16, num_levels=2, repeats=2,
+                               survival_prob=None, predict_bias_init=0.0)
+        x = [jnp.asarray(rng.normal(size=(1, 8 // (1 + i), 8 // (1 + i),
+                                          16)).astype(np.float32))
+             for i in range(2)]
+        v1 = model.init(jax.random.key(0), x, train=False)
+        with quantized("int8_static"):
+            v2 = model.init(jax.random.key(0), x, train=False)
+        p1 = jax.tree_util.tree_leaves_with_path(
+            {k: v1[k] for k in ("params", "batch_stats")})
+        p2 = jax.tree_util.tree_leaves_with_path(
+            {k: v2[k] for k in ("params", "batch_stats")})
+        assert [k for k, _ in p1] == [k for k, _ in p2]
+
+        absmax = calibrate_model(model, v1, [x], train=False)
+        leaves = {jax.tree_util.keystr(p)
+                  for p, _ in jax.tree_util.tree_leaves_with_path(absmax)}
+        # repeats=2 convs × (depthwise+pointwise); predict NOT calibrated
+        assert len(leaves) == 4, leaves
+        assert not any("predict" in k for k in leaves)
+
+        qv = prepare_static_int8_variables(v1, absmax)
+        ref = model.apply(v1, x, train=False)
+        with quantized("int8_static"):
+            out = model.apply(qv, x, train=False)
+        for a, b in zip(ref, out):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all()
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.1, rel
+
     @pytest.mark.slow  # traces full D0 twice (calib + int8)
     def test_full_net_eval_harness_int8(self, rng):
         from tmv_tpu.models.efficientdet import (

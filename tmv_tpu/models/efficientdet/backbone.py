@@ -112,34 +112,19 @@ class _ConvKernelParams(nn.Module):
 
 
 def _sow_calib(mdl: nn.Module, name: str, x) -> None:
-    """Tap the per-site conv-input absmax during a ``quantized("calib")``
-    forward (consumed by `quant/static.py::prepare_static_int8_variables`)."""
-    mdl.sow("quant_stats", f"in_absmax_{name}",
-            jnp.max(jnp.abs(x.astype(jnp.float32))),
-            init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
+    from tmv_tpu.quant.static import sow_calib
+
+    sow_calib(mdl, name, x)
 
 
 def _static_int8_site(mdl: nn.Module, name: str, x, kernel_shape,
                       strides, bn, bn_epsilon, groups: int = 1):
-    """One conv+BN site on the static-int8 path: reads the calibrated
-    ``quant`` collection (suffixed by conv name), folds the BN affine into
-    the dequant, returns pre-activation float32 (`quant/static.py`)."""
-    from tmv_tpu.quant.static import static_int8_conv
+    """One conv+BN site on the static-int8 path (BN affine folded into
+    the dequant) — see `quant/static.py::static_conv_site`."""
+    from tmv_tpu.quant.static import static_conv_site
 
-    in_absmax = mdl.variable(
-        "quant", f"in_absmax_{name}", lambda: jnp.ones(())).value
-    kernel_q = mdl.variable(
-        "quant", f"kernel_q_{name}",
-        lambda: jnp.zeros(tuple(kernel_shape), jnp.int8)).value
-    w_absmax = mdl.variable(
-        "quant", f"w_absmax_{name}",
-        lambda: jnp.ones((kernel_shape[-1],))).value
-    scale, bias, mean, var = bn
-    factor = scale / jnp.sqrt(var + bn_epsilon)
-    offset = bias - mean * factor
-    return static_int8_conv(
-        x, kernel_q, in_absmax, w_absmax, tuple(strides), "SAME",
-        out_scale=factor, out_offset=offset, feature_group_count=groups)
+    return static_conv_site(mdl, name, x, kernel_shape, strides,
+                            groups=groups, bn=bn, bn_epsilon=bn_epsilon)
 
 
 class _DWKernelParams(nn.Module):

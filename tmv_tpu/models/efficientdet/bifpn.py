@@ -22,26 +22,71 @@ import jax
 import jax.numpy as jnp
 
 
+_sep_init = nn.initializers.variance_scaling(1.0, "fan_in",
+                                             "truncated_normal")
+
+
+class _SepConvParams(nn.Module):
+    """Param-holder with ``nn.Conv``'s variable layout, so the static-int8
+    path keeps byte-identical checkpoints (`quant/static.py`)."""
+
+    shape: Any
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _sep_init, tuple(self.shape))
+        bias = (self.param("bias", nn.initializers.zeros_init(),
+                           (self.shape[-1],))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class SeparableConv(nn.Module):
-    """SeparableConv2D(depth_multiplier=1) parity: depthwise then 1×1."""
+    """SeparableConv2D(depth_multiplier=1) parity: depthwise then 1×1.
+
+    On the static-int8 serving path (``quantized("int8_static")``, see
+    `quant/static.py`) both convs run int8 with calibrated scales; set
+    ``quantize=False`` to pin a site to float (e.g. the head ``predict``
+    logits).  The quant context is only entered on eval traces.
+    """
 
     filters: int
     kernel_size: int = 3
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quantize: bool = True
 
     @nn.compact
     def __call__(self, x):
+        from tmv_tpu.quant.dynamic import quant_mode
+        from tmv_tpu.quant.static import sow_calib, static_conv_site
+
+        mode = quant_mode()
         in_f = x.shape[-1]
-        x = nn.Conv(in_f, (self.kernel_size, self.kernel_size), padding="SAME",
+        ks = self.kernel_size
+        if mode == "int8_static" and self.quantize:
+            dw_shape = (ks, ks, 1, in_f)
+            _SepConvParams(dw_shape, name="depthwise")()
+            x = static_conv_site(self, "depthwise", x, dw_shape,
+                                 groups=in_f)
+            pw_shape = (1, 1, in_f, self.filters)
+            _, bias = _SepConvParams(pw_shape, use_bias=self.use_bias,
+                                     name="pointwise")()
+            x = static_conv_site(self, "pointwise", x, pw_shape, bias=bias)
+            return x.astype(self.dtype)
+        calib = mode == "calib" and self.quantize
+        if calib:
+            sow_calib(self, "depthwise", x)
+        x = nn.Conv(in_f, (ks, ks), padding="SAME",
                     feature_group_count=in_f, use_bias=False,
-                    kernel_init=nn.initializers.variance_scaling(
-                        1.0, "fan_in", "truncated_normal"),
+                    kernel_init=_sep_init,
                     dtype=self.dtype, name="depthwise")(x)
+        if calib:
+            sow_calib(self, "pointwise", x)
         return nn.Conv(self.filters, (1, 1), padding="SAME",
                        use_bias=self.use_bias,
-                       kernel_init=nn.initializers.variance_scaling(
-                           1.0, "fan_in", "truncated_normal"),
+                       kernel_init=_sep_init,
                        dtype=self.dtype, name="pointwise")(x)
 
 

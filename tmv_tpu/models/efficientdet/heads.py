@@ -41,6 +41,7 @@ class _PredictionNet(nn.Module):
         predict = SeparableConv(
             self.out_per_anchor * self.num_anchors, 3, use_bias=True,
             dtype=self.dtype, name="predict",
+            quantize=False,  # final logits stay float on the int8 path
         )
         outputs = []
         for level_id in range(self.num_levels):

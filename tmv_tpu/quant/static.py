@@ -180,3 +180,49 @@ def static_int8_conv(
     if out_offset is not None:
         y = y + out_offset.astype(jnp.float32)
     return y
+
+
+# --------------------------------------------------------------- flax sites
+# Canonical helpers for wiring static-int8 conv sites into flax modules
+# with byte-identical param/batch_stats trees (used by the EfficientDet
+# backbone, the BiFPN/head SeparableConvs, and available to new models).
+
+def sow_calib(mdl, name: str, x) -> None:
+    """Tap the per-site conv-input absmax during a ``quantized("calib")``
+    forward (consumed by :func:`prepare_static_int8_variables`).  The sow
+    leaf ``in_absmax_<name>`` max-reduces over repeated calls, so modules
+    applied at several feature levels calibrate one shared scale."""
+    mdl.sow("quant_stats", f"in_absmax_{name}",
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
+
+
+def static_conv_site(mdl, name: str, x, kernel_shape, strides=(1, 1),
+                     groups: int = 1, bn=None, bn_epsilon: float = 1e-3,
+                     bias=None):
+    """One conv site on the static-int8 path.
+
+    Reads the calibrated ``quant`` collection (leaves suffixed by the conv
+    submodule ``name``); optionally folds a following BN affine
+    (``bn = (scale, bias, mean, var)``) into the dequant, or adds the
+    conv's own ``bias``.  Returns pre-activation float32.
+    """
+    in_absmax = mdl.variable(
+        "quant", f"in_absmax_{name}", lambda: jnp.ones(())).value
+    kernel_q = mdl.variable(
+        "quant", f"kernel_q_{name}",
+        lambda: jnp.zeros(tuple(kernel_shape), jnp.int8)).value
+    w_absmax = mdl.variable(
+        "quant", f"w_absmax_{name}",
+        lambda: jnp.ones((kernel_shape[-1],))).value
+    out_scale = out_offset = None
+    if bn is not None:
+        scale, b_bias, mean, var = bn
+        out_scale = scale / jnp.sqrt(var + bn_epsilon)
+        out_offset = b_bias - mean * out_scale
+    elif bias is not None:
+        out_offset = bias
+    return static_int8_conv(
+        x, kernel_q, in_absmax, w_absmax, tuple(strides), "SAME",
+        out_scale=out_scale, out_offset=out_offset,
+        feature_group_count=groups)
