@@ -163,9 +163,32 @@ def main():
     p50_e2e_ms = float(np.percentile(wall, 50) * 1000)
 
     baseline = FALLBACK_TF_CPU_IPS
+    measured = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            baseline = json.load(f).get("efficientdet_d0_tf_cpu_ips", baseline)
+            measured = json.load(f)
+        baseline = measured.get("efficientdet_d0_tf_cpu_ips", baseline)
+
+    # companion numbers recorded by the dedicated tools (train-side and
+    # host-pipeline rates are long runs; re-measuring them here would
+    # blow the driver's bench budget — carried from baseline_measured.json)
+    carried = {k: measured[k] for k in (
+        "efficientdet_d0_train_images_per_sec",
+        "yolov4_416_train_images_per_sec",
+        "pipeline_yolo608_stage_ips",
+        "pipeline_yolo608_iter_ips",
+        "pipeline_efficientdet512_stage_ips",
+        "pipeline_efficientdet512_iter_ips",
+        "pipeline_efficientdet512_devaug_iter_ips",
+        "pipeline_synth_yolov4_608_train_ips",
+        "pipeline_fed_yolov4_608_train_ips",
+        "pipeline_synth_d0_512_train_ips",
+        "pipeline_fed_d0_512_train_ips",
+        "pipeline_fed_d0_512_devaug_train_ips",
+        "static_int8_bench_yolov4_640_int8_static_speedup",
+        "static_int8_bench_yolov4_416_int8_static_speedup",
+        "static_int8_bench_d0_512_int8_static_speedup",
+    ) if k in measured}
 
     print(json.dumps({
         "metric": "efficientdet_d0_infer_images_per_sec_per_chip",
@@ -179,6 +202,7 @@ def main():
             "yolov4_640_p50_image_to_boxes_ms_e2e_tunnel": round(
                 p50_e2e_ms, 3),
             "tf_cpu_baseline_d0_ips": baseline,
+            **carried,
             "bench_wall_sec": round(time.time() - t0, 1),
             "method": "slope (k-chained jit executions, traced k; axon "
                       "tunnel RPC floor ~30ms and unreliable "
