@@ -187,3 +187,75 @@ class TestRealPathsParallel:
 
     def test_moco_queue_global_semantics(self):
         self._run_case("moco")
+
+
+@pytest.mark.slow  # YOLOv3 forward compiles twice (sharded + reference)
+class TestShardedInference:
+    def test_sharded_batched_predictor_matches_single(self):
+        """`parallel/inference.py::shard_predict`: the data-sharded
+        batched serving predictor must reproduce the unsharded outputs
+        bit-for-bit shape-wise and numerically (no collectives in the
+        program — decode+NMS is batch-local)."""
+        from tmv_tpu.models.detector_harness import (
+            build_yolo_model, make_yolo_predict_batched,
+        )
+        from tmv_tpu.parallel.inference import shard_predict
+
+        size = 64
+        anchors = np.asarray(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model, iou_type = build_yolo_model("v3", 3, anchors_per_scale=3)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, size, size, 3)), train=False)
+        variables = {
+            "params": jax.tree.map(lambda t: t * 0.2, variables["params"]),
+            "batch_stats": variables["batch_stats"]}
+        batched = make_yolo_predict_batched(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, max_output_size=16, iou_type=iou_type)
+        imgs = jnp.asarray(np.random.default_rng(3).uniform(
+            size=(8, size, size, 3)).astype(np.float32))
+
+        ref = batched(variables, imgs)
+
+        mesh = create_mesh(8, ("data",))
+        sharded = shard_predict(batched, mesh)
+        out = sharded(replicate(variables, mesh),
+                      shard_batch(imgs, mesh))
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(r, np.float32),
+                                       np.asarray(o, np.float32),
+                                       rtol=1e-5, atol=1e-5)
+
+
+class TestShardedMicroBatcher:
+    def test_queue_over_sharded_predictor(self):
+        """The serving micro-batch queue drives a data-sharded predictor
+        transparently: per-request results equal direct computation (the
+        queue pads to max_batch, keeping shard shapes static)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tmv_tpu.parallel.inference import shard_predict
+        from tmv_tpu.serving.batching import MicroBatcher
+
+        mesh = create_mesh(8, ("data",))
+
+        def batched(variables, images):
+            s = jnp.sum(images, axis=(1, 2, 3)) * variables["w"]
+            return (s, s * 2.0)
+
+        sharded = shard_predict(batched, mesh)
+        variables = replicate({"w": jnp.asarray(3.0)}, mesh)
+        batcher = MicroBatcher(sharded, variables, max_batch=8,
+                               max_wait_ms=5.0)
+        imgs = np.random.default_rng(0).uniform(
+            size=(5, 4, 4, 3)).astype(np.float32)
+        with ThreadPoolExecutor(5) as pool:
+            outs = list(pool.map(batcher.predict_one, list(imgs)))
+        batcher.close()
+        for img, (a, b) in zip(imgs, outs):
+            expect = float(img.sum()) * 3.0
+            assert a == pytest.approx(expect, rel=1e-5)
+            assert b == pytest.approx(2 * expect, rel=1e-5)

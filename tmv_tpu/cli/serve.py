@@ -30,6 +30,10 @@ def parse_args():
                    help="micro-batch capacity (>1 enables the batching "
                         "queue + threaded server)")
     p.add_argument("--batchWaitMs", type=float, default=4.0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard the micro-batch over this many devices "
+                        "(data-parallel serving, requires --batch divisible "
+                        "by it; 0 = single device)")
     p.add_argument("--int8", action="store_true",
                    help="experimental dynamic-int8 conv path; on v5e the "
                         "bandwidth-bound YOLO models run ~0.8x bf16 "
@@ -61,6 +65,13 @@ def parse_args():
         if (args.int8 or args.int8Static) and args.batch > 1:
             p.error("--int8/--int8Static are only supported with --batch 1 "
                     "(the batched predictor has no quantized path)")
+        if args.dp:
+            if args.batch <= 1:
+                p.error("--dp requires --batch > 1 (the sharded predictor "
+                        "serves the micro-batch queue)")
+            if args.batch % args.dp:
+                p.error(f"--batch {args.batch} is not divisible by "
+                        f"--dp {args.dp}")
     return args
 
 
@@ -161,6 +172,14 @@ def main():
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
             iou_type=iou_type,
         )
+        if args.dp:
+            from tmv_tpu.parallel.inference import (
+                make_sharded_batched_predictor,
+            )
+
+            batched, variables, mesh = make_sharded_batched_predictor(
+                batched, variables, args.dp)
+            print(f"data-parallel serving over {mesh.devices.size} devices")
         batched(variables,
                 jnp.zeros((args.batch, image_wh[1], image_wh[0], 3)))
         batcher = MicroBatcher(batched, variables, max_batch=args.batch,
