@@ -20,6 +20,7 @@
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -166,6 +167,87 @@ void tmv_decode_letterbox_batch(const uint8_t* blob, const long* offsets,
 void tmv_letterbox_rgb(const uint8_t* rgb, int sh, int sw, int th, int tw,
                        float* out, int* meta) {
   LetterboxNormalize(rgb, sw, sh, th, tw, out, meta);
+}
+
+// Header-only dimension probe. Returns 0 on success.
+int tmv_jpeg_dims(const uint8_t* data, long len, int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *width = cinfo.image_width;
+  *height = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Serving hot path: ONE decode feeding both consumers — the full-res RGB8
+// frame (response drawing, `views/object_detection.py:92-101` parity) and
+// the letterboxed /255 float frame the predictor eats. out_rgb must hold
+// width*height*3 bytes (probe with tmv_jpeg_dims); pass NULL to skip it.
+int tmv_decode_letterbox_full(const uint8_t* jpeg, long jpeg_len, int th,
+                              int tw, float* out, int* meta,
+                              uint8_t* out_rgb) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!DecodeJpeg(jpeg, static_cast<size_t>(jpeg_len), &rgb, &w, &h)) {
+    return 1;
+  }
+  if (out_rgb) {
+    std::memcpy(out_rgb, rgb.data(), rgb.size());
+  }
+  LetterboxNormalize(rgb.data(), w, h, th, tw, out, meta);
+  return 0;
+}
+
+// JPEG-encode a tightly packed RGB8 image. Writes at most `cap` bytes
+// into `out`; returns the encoded size, or -needed if `cap` is too small,
+// or 0 on encode failure.
+long tmv_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
+                     uint8_t* out, long cap) {
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  unsigned char* buf = nullptr;
+  unsigned long buf_len = 0;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) free(buf);
+    return 0;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buf_len);  // libjpeg-owned buffer
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + size_t(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  long n = static_cast<long>(buf_len);
+  if (n > cap) {
+    free(buf);
+    return -n;
+  }
+  std::memcpy(out, buf, buf_len);
+  free(buf);
+  return n;
 }
 
 }  // extern "C"

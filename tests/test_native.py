@@ -57,3 +57,39 @@ class TestNativePreproc:
         jb, _ = make_jpeg(rng)
         with pytest.raises(Exception):
             decode_letterbox(b"not a jpeg", (64, 64))
+
+
+@pytest.mark.skipif(not available(), reason="native toolchain unavailable")
+class TestNativeJpegCodec:
+    """r3 serving-hot-path entry points: fused full decode + encode."""
+
+    def test_decode_letterbox_full_matches_parts(self, rng):
+        from tmv_tpu.native import decode_letterbox_full
+
+        jb, img = make_jpeg(rng)
+        res = decode_letterbox_full(jb, (416, 416))
+        assert res is not None
+        rgb, out, meta = res
+        # full-res frame is the PIL decode, bit-exact (same libjpeg)
+        ref = np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"))
+        np.testing.assert_array_equal(rgb, ref)
+        # letterboxed frame equals the single-output entry point
+        out2, meta2 = decode_letterbox(jb, (416, 416))
+        np.testing.assert_array_equal(out, out2)
+        np.testing.assert_array_equal(meta, meta2)
+
+    def test_encode_roundtrip(self, rng):
+        from tmv_tpu.native import encode_jpeg
+
+        _, img = make_jpeg(rng)
+        data = encode_jpeg(img, quality=92)
+        assert data is not None and data[:2] == b"\xff\xd8"
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert back.shape == img.shape
+        # smooth-gradient content survives one JPEG generation
+        assert float(np.abs(back.astype(int) - img.astype(int)).mean()) < 3.0
+
+    def test_bad_inputs_return_none(self):
+        from tmv_tpu.native import decode_letterbox_full
+
+        assert decode_letterbox_full(b"not a jpeg", (64, 64)) is None

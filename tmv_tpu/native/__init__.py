@@ -57,6 +57,23 @@ def _load(build_if_missing: bool = True):
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "tmv_encode_jpeg"):  # present from r3 on
+        lib.tmv_jpeg_dims.restype = ctypes.c_int
+        lib.tmv_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.tmv_decode_letterbox_full.restype = ctypes.c_int
+        lib.tmv_decode_letterbox_full.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.tmv_encode_jpeg.restype = ctypes.c_long
+        lib.tmv_encode_jpeg.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+        ]
     _lib = lib
     return _lib
 
@@ -119,3 +136,55 @@ def decode_letterbox_batch(jpeg_list: List[bytes],
     for i in np.nonzero(statuses)[0]:
         out[i], meta[i] = _fallback_decode_letterbox(jpeg_list[i], th, tw)
     return out, meta
+
+
+def decode_letterbox_full(jpeg_bytes: bytes, target_hw: Tuple[int, int]):
+    """Serving hot path: ONE JPEG decode → (full-res uint8 RGB image,
+    letterboxed float32 [0,1] frame, meta[pad_y, pad_x, sh, sw]).
+
+    Returns None if the native library is absent or lacks the entry point
+    (old .so) or the decode fails — callers fall back to PIL.
+    """
+    th, tw = target_hw
+    lib = _load()
+    if lib is None or not hasattr(lib, "tmv_decode_letterbox_full"):
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.tmv_jpeg_dims(jpeg_bytes, len(jpeg_bytes),
+                         ctypes.byref(w), ctypes.byref(h)):
+        return None
+    rgb = np.empty((h.value, w.value, 3), np.uint8)
+    out = np.empty((th, tw, 3), np.float32)
+    meta = np.empty((4,), np.int32)
+    rc = lib.tmv_decode_letterbox_full(
+        jpeg_bytes, len(jpeg_bytes), th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0:
+        return None
+    return rgb, out, meta
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75) -> Optional[bytes]:
+    """RGB8 (H, W, 3) → JPEG bytes via libjpeg (PIL-default quality 75).
+
+    Returns None if the native library is absent/old or encoding fails —
+    callers fall back to PIL.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "tmv_encode_jpeg"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    cap = h * w * 3 + 4096
+    out = np.empty((cap,), np.uint8)
+    n = lib.tmv_encode_jpeg(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w,
+        int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()

@@ -39,7 +39,16 @@ class DetectionService:
             img_old, image_size, bg_color=(0, 0, 0)
         )
         width, height = ImageHelper.get_image_size(img_old)
-        predict_img = img.astype(np.float32) / 255.0
+        y_boxes, y_ids, y_scores = self.predict_prepared(
+            img.astype(np.float32) / 255.0, (width, height), padding)
+        return y_boxes, y_ids, y_scores, img
+
+    def predict_prepared(self, predict_img: np.ndarray, orig_wh, padding):
+        """Predict + un-letterbox on an already letterboxed [0,1] frame
+        (the native decoder produces it in one pass — `native/preproc.cc`).
+        ``padding`` is (top, bottom, left, right) in letterbox pixels."""
+        image_size = np.int32(self.image_wh)
+        width, height = orig_wh
         boxes, ids, scores, valid = self.predict_fn(
             self.variables, predict_img[None]
         )
@@ -63,8 +72,40 @@ class DetectionService:
         y_boxes[:, 3] = np.clip(y_boxes[:, 3], None, height)
         mask = ((y_boxes[:, 2] - y_boxes[:, 0] > 2)
                 & (y_boxes[:, 3] - y_boxes[:, 1] > 2))
-        return (y_boxes[mask].astype(np.int32), y_ids[mask], y_scores[mask],
-                img)
+        return y_boxes[mask].astype(np.int32), y_ids[mask], y_scores[mask]
+
+
+def _encode_image_b64(img: np.ndarray) -> str:
+    """uint8 RGB → base64 JPEG, native libjpeg encoder when built
+    (`native/preproc.cc::tmv_encode_jpeg`), PIL fallback."""
+    try:
+        from tmv_tpu.native import encode_jpeg
+
+        data = encode_jpeg(img)
+        if data is not None:
+            return ImageHelper.bytes_to_base64(data)
+    except Exception:  # noqa: BLE001 — never fail the response path
+        pass
+    return ImageHelper.bytes_to_base64(ImageHelper.image_to_bytes(img))
+
+
+def _native_decode(img_bytes: bytes, image_wh):
+    """Fused native decode: one JPEG pass → (full-res RGB, letterboxed
+    [0,1] frame, (top, bottom, left, right) padding), or None → PIL path."""
+    try:
+        from tmv_tpu.native import decode_letterbox_full
+    except Exception:  # noqa: BLE001
+        return None
+    res = decode_letterbox_full(img_bytes, (image_wh[1], image_wh[0]))
+    if res is None:
+        return None
+    rgb, img01, meta = res
+    pad_y, pad_x, sh, sw = (int(x) for x in meta)
+    tw, th = image_wh
+    ratio = max(sw / tw, sh / th)
+    nw, nh = int(sw / ratio), int(sh / ratio)
+    padding = (pad_y, th - nh - pad_y, pad_x, tw - nw - pad_x)
+    return rgb, img01, padding
 
 
 def create_app(service: DetectionService):
@@ -81,22 +122,38 @@ def create_app(service: DetectionService):
             request_data = json.loads(environ["wsgi.input"].read(size))
             img_data = request_data["img_data"].split(",")[1]
             img_bytes = ImageHelper.base64_to_bytes(img_data)
-            img_old = ImageHelper.bytes_to_image(img_bytes)
+            # the reference reads `read` but never uses it
+            # (`views/object_detection.py:44`); here a falsy value skips
+            # the two image payloads — boxes-only responses drop the
+            # draw+encode host cost entirely
+            read = request_data.get("read", 1)
 
-            y_boxes, y_ids, y_scores, letterboxed = service.predict_image(
-                img_old)
-            labels = [service.classes_name[i] for i in y_ids]
-            result_img = ImageHelper.draw_boxes(
-                img_old, y_boxes, labels, y_scores)
+            native = _native_decode(img_bytes, service.image_wh)
+            if native is not None:
+                img_old, img01, padding = native
+                width, height = img_old.shape[1], img_old.shape[0]
+                y_boxes, y_ids, y_scores = service.predict_prepared(
+                    img01, (width, height), padding)
+                letterboxed = None
+                if read:
+                    letterboxed = (img01 * 255.0).astype(np.uint8)
+            else:
+                img_old = ImageHelper.bytes_to_image(img_bytes)
+                y_boxes, y_ids, y_scores, letterboxed = (
+                    service.predict_image(img_old))
 
             json_obj = {
                 "boxes": y_boxes.tolist(),
                 "classes": y_ids.tolist(),
-                "random_img": ImageHelper.bytes_to_base64(
-                    ImageHelper.image_to_bytes(letterboxed)),
-                "result_img": ImageHelper.bytes_to_base64(
-                    ImageHelper.image_to_bytes(result_img)),
+                "random_img": "",
+                "result_img": "",
             }
+            if read:
+                labels = [service.classes_name[i] for i in y_ids]
+                result_img = ImageHelper.draw_boxes(
+                    img_old, y_boxes, labels, y_scores)
+                json_obj["random_img"] = _encode_image_b64(letterboxed)
+                json_obj["result_img"] = _encode_image_b64(result_img)
             body = json.dumps(json_obj).encode()
             start_response("200 OK", [("Content-Type", "application/json")])
             return [body]
