@@ -52,6 +52,7 @@ def parse_args():
         bad = [f for f, on in [("--batch", args.batch > 1),
                                ("--int8", args.int8),
                                ("--int8Static", bool(args.int8Static)),
+                               ("--dp", args.dp > 0),
                                ("--bf16", args.bf16)] if on]
         if bad:
             p.error(f"{', '.join(bad)} cannot be combined with --artifact: "
