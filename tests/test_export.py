@@ -175,3 +175,43 @@ class TestExport:
         finally:
             _nms.set_nms_backend(prev)
         assert_predictions_equal(predict(variables, img), out)
+
+
+class TestInt8Export:
+    def test_int8_static_artifact_matches_direct(self, tmp_path):
+        """`export_model --int8Static` semantics: an artifact exported
+        from the int8 predictor reproduces the direct int8 predict
+        (quant collection baked in as constants)."""
+        from tmv_tpu.models.detector_harness import make_yolo_predict
+        from tmv_tpu.models.yolo_v3 import YoloV3
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        size = 64
+        anchors = np.array(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = YoloV3(classes_num=3)
+        v = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                       train=False)
+        v = {"params": jax.tree.map(lambda x: x * 0.2, v["params"]),
+             "batch_stats": v["batch_stats"]}
+        img = np.random.default_rng(0).uniform(
+            size=(1, size, size, 3)).astype(np.float32)
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [jnp.asarray(img)], train=False))
+        predict = make_yolo_predict(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, max_output_size=16, quant="int8_static",
+            nms_backend="xla")
+        ref = predict(qv, img)
+
+        path = str(tmp_path / "int8.tmvx")
+        export_predictor(predict, qv, img, path=path, bake_variables=True,
+                         platforms=("cpu",), meta={"quant": "int8_static"})
+        loaded = load_predictor(path)
+        out = loaded(None, img)
+        assert_predictions_equal(ref, out, rtol=1e-5, atol=1e-5)
+        assert read_export_meta(path)["quant"] == "int8_static"

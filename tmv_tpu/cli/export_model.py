@@ -34,6 +34,13 @@ def parse_args():
     p.add_argument("--confidenceThresh", type=float, default=0.5)
     p.add_argument("--scoresThresh", type=float, default=0.2)
     p.add_argument("--iouThresh", type=float, default=0.5)
+    p.add_argument("--int8Static", metavar="CALIB_DIR", default=None,
+                   help="bake the static-calibration int8 serving path "
+                        "into the artifact: calibrate activation scales "
+                        "over the images in CALIB_DIR, pre-quantize "
+                        "weights, export the int8 program (int8 is "
+                        "portable StableHLO — runs on every --platforms "
+                        "target)")
     return p.parse_args()
 
 
@@ -72,6 +79,15 @@ def main():
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
 
+    quant = "off"
+    if args.int8Static:
+        from tmv_tpu.quant.static import calibrate_directory
+
+        print(f"calibrating int8 scales from {args.int8Static}...")
+        variables = calibrate_directory(model, variables, args.int8Static,
+                                        image_wh)
+        quant = "int8_static"
+
     # nms_backend='xla' is part of the closure: the exported program must
     # be portable across every --platforms target, so the TPU-only Pallas
     # NMS kernel is excluded at trace time (not via the process global).
@@ -79,14 +95,14 @@ def main():
         model, image_wh, anchors, classes_num,
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
-        iou_type=iou_type, nms_backend="xla",
+        iou_type=iou_type, nms_backend="xla", quant=quant,
     )
     example = np.zeros((1, image_wh[1], image_wh[0], 3), np.float32)
     blob = export_predictor(
         predict, variables, example, path=args.out, bake_variables=True,
         platforms=tuple(args.platforms.split(",")),
         meta={"image_size": args.imageSize, "version": args.version,
-              "classes_num": classes_num},
+              "classes_num": classes_num, "quant": quant},
     )
     print(f"wrote {args.out}: {len(blob)/1e6:.2f} MB "
           f"(classes={classes_num}, {args.version} @{args.imageSize})")

@@ -100,32 +100,16 @@ def serve_artifact(args):
 
 
 def _calibrate(model, variables, calib_dir, image_wh, max_images=32):
-    """Calibrate static-int8 activation scales over a directory of images
-    (letterboxed exactly like serving inputs) and bake the quant
-    collection (`tmv_tpu/quant/static.py`)."""
-    import os
+    """Calibrate static-int8 scales over a directory of images
+    (`tmv_tpu/quant/static.py::calibrate_directory`)."""
+    from tmv_tpu.quant.static import calibrate_directory
 
-    import jax.numpy as jnp
-    import numpy as np
-    from PIL import Image
-
-    from tmv_tpu.quant import calibrate_model, prepare_static_int8_variables
-    from tmv_tpu.utils import image_helper as ImageHelper
-
-    paths = sorted(
-        os.path.join(calib_dir, f) for f in os.listdir(calib_dir)
-        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
-    if not paths:
-        raise SystemExit(f"--int8Static: no images in {calib_dir}")
-    batches = []
-    for p in paths[:max_images]:
-        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
-        boxed, _, _ = ImageHelper.proportional_resize(
-            img, np.int32(image_wh), bg_color=(0, 0, 0))
-        batches.append(jnp.asarray(boxed.astype(np.float32)[None] / 255.0))
-    print(f"calibrating int8 scales on {len(batches)} images...")
-    qv = prepare_static_int8_variables(
-        variables, calibrate_model(model, variables, batches, train=False))
+    print(f"calibrating int8 scales from {calib_dir}...")
+    try:
+        qv = calibrate_directory(model, variables, calib_dir, image_wh,
+                                 max_images)
+    except ValueError as e:
+        raise SystemExit(f"--int8Static: {e}")
     print("int8 calibration done")
     return qv
 

@@ -182,6 +182,33 @@ def static_int8_conv(
     return y
 
 
+def calibrate_directory(model, variables: Dict, calib_dir: str, image_wh,
+                        max_images: int = 32) -> Dict:
+    """Calibrate static-int8 scales over a directory of images
+    (letterboxed exactly like serving inputs) and return the variables
+    with the baked ``quant`` collection.  Shared by ``serve --int8Static``
+    and ``export_model --int8Static``."""
+    import os
+
+    from PIL import Image
+
+    from tmv_tpu.utils import image_helper
+
+    paths = sorted(
+        os.path.join(calib_dir, f) for f in os.listdir(calib_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not paths:
+        raise ValueError(f"no calibration images in {calib_dir}")
+    batches = []
+    for p in paths[:max_images]:
+        img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        boxed, _, _ = image_helper.proportional_resize(
+            img, np.int32(image_wh), bg_color=(0, 0, 0))
+        batches.append(jnp.asarray(boxed.astype(np.float32)[None] / 255.0))
+    return prepare_static_int8_variables(
+        variables, calibrate_model(model, variables, batches, train=False))
+
+
 # --------------------------------------------------------------- flax sites
 # Canonical helpers for wiring static-int8 conv sites into flax modules
 # with byte-identical param/batch_stats trees (used by the EfficientDet
