@@ -373,3 +373,48 @@ class TestQuantPredictor:
         boxes, ids, scores, valid = predict(v, img)
         assert np.isfinite(np.asarray(scores)[np.asarray(valid)]).all()
         assert np.asarray(valid).any()
+
+
+class TestQuantBatchedPredictor:
+    def test_batched_int8_static_matches_single(self, rng):
+        """`serve --batch N --int8Static` path: the batched int8 predictor
+        reproduces the per-image int8 predictor."""
+        from tmv_tpu.models.detector_harness import (
+            make_yolo_predict, make_yolo_predict_batched,
+        )
+        from tmv_tpu.models.yolo_v3 import YoloV3
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        size = 64
+        anchors = np.asarray(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model = YoloV3(classes_num=3)
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, size, size, 3)), train=False)
+        v = {"params": jax.tree.map(lambda t: t * 0.2, v["params"]),
+             "batch_stats": v["batch_stats"]}
+        imgs = jnp.asarray(rng.uniform(
+            size=(3, size, size, 3)).astype(np.float32))
+        qv = prepare_static_int8_variables(
+            v, calibrate_model(model, v, [imgs], train=False))
+
+        single = make_yolo_predict(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, max_output_size=8, quant="int8_static")
+        batched = make_yolo_predict_batched(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, max_output_size=8, quant="int8_static")
+
+        bb, bi, bs, bv = (np.asarray(t) for t in batched(qv, imgs))
+        for i in range(3):
+            rb, ri, rs, rv = (np.asarray(t)
+                              for t in single(qv, imgs[i:i + 1]))
+            np.testing.assert_array_equal(rv, bv[i])
+            m = rv
+            np.testing.assert_allclose(rb[m], bb[i][m], rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_array_equal(ri[m], bi[i][m])

@@ -63,9 +63,9 @@ def parse_args():
             p.error("--anchorsFile is required (omit only with --artifact)")
         if args.int8 and args.int8Static:
             p.error("--int8 and --int8Static are mutually exclusive")
-        if (args.int8 or args.int8Static) and args.batch > 1:
-            p.error("--int8/--int8Static are only supported with --batch 1 "
-                    "(the batched predictor has no quantized path)")
+        if args.int8 and args.batch > 1:
+            p.error("--int8 (dynamic) is only supported with --batch 1; "
+                    "use --int8Static for batched throughput serving")
         if args.dp:
             if args.batch <= 1:
                 p.error("--dp requires --batch > 1 (the sharded predictor "
@@ -152,10 +152,14 @@ def main():
         from tmv_tpu.models.detector_harness import make_yolo_predict_batched
         from tmv_tpu.serving.batching import MicroBatcher
 
+        if args.int8Static:
+            variables = _calibrate(model, variables, args.int8Static,
+                                   image_wh)
         batched = make_yolo_predict_batched(
             model, image_wh, anchors, classes_num,
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
             iou_type=iou_type,
+            quant="int8_static" if args.int8Static else "off",
         )
         if args.dp:
             from tmv_tpu.parallel.inference import (

@@ -129,11 +129,14 @@ def make_yolo_predict_batched(model, image_wh, anchors_wh, classes_num: int,
                               iou_thresh: float = 0.5,
                               iou_type: str = "iou",
                               max_output_size: int = 500,
+                              quant: str = "off",
                               nms_backend: str = None):
     """Batched predictor for the serving micro-batch queue: (B, H, W, 3)
     float images → per-image padded (boxes, classes_id, scores, valid) with
     a leading batch axis.  Same semantics as ``make_yolo_predict`` per
-    image (the forward is shared; decode+NMS is vmapped)."""
+    image (the forward is shared; decode+NMS is vmapped).  ``quant``
+    mirrors ``make_yolo_predict`` (pass variables prepared by
+    ``prepare_static_int8_variables`` for ``"int8_static"``)."""
 
     anchors = jnp.asarray(anchors_wh, jnp.float32)
 
@@ -149,9 +152,17 @@ def make_yolo_predict_batched(model, image_wh, anchors_wh, classes_num: int,
         )
         return boxes, ids, scores, valid
 
+    def _forward(variables, images):
+        if quant != "off":
+            from tmv_tpu.quant import quantized
+
+            with quantized(quant):
+                return model.apply(variables, images, train=False)
+        return model.apply(variables, images, train=False)
+
     @jax.jit
     def predict(variables, images):
-        heads = model.apply(variables, images, train=False)
+        heads = _forward(variables, images)
         return jax.vmap(nms_one)(list(heads))
 
     return predict
