@@ -32,7 +32,7 @@ class EfficientDetPipeline:
                  image_size: int = 512, max_boxes: int = 100,
                  augment: bool = True, label_mean: bool = True,
                  seed: int = 0, with_raw_boxes: bool = False,
-                 device_aug: bool = False):
+                 device_aug: bool = False, prefetch: int = 2):
         self.classes, names_num = load_classes(classes_path)
         self.labels, self.labels_num = load_labels(
             label_path, image_path, self.classes)
@@ -44,6 +44,7 @@ class EfficientDetPipeline:
         self.augment = augment
         self.with_raw_boxes = with_raw_boxes
         self.device_aug = device_aug and augment
+        self.prefetch = prefetch
         self.sampler = ClassBalancedSampler(self.labels, label_mean, seed)
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
@@ -154,20 +155,49 @@ class EfficientDetPipeline:
         b, c, v = pad_labels(boxes, classes, self.max_boxes)
         return img_u8, b, c, v
 
+    def _prefetched(self, produce_batch):
+        """Run host staging on a producer thread with a bounded queue so
+        it overlaps the consumer's device calls (mirrors
+        `yolo_pipeline.__iter__`'s producer).  ``prefetch=0`` stays
+        synchronous."""
+        if self.prefetch <= 0:
+            while True:
+                yield produce_batch()
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                while True:
+                    q.put(produce_batch())
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def _iter_device_aug(self) -> Iterator[Dict]:
         from concurrent.futures import ThreadPoolExecutor
 
         it = iter(self.sampler)
         pool = (ThreadPoolExecutor(min(8, self.batch_size))
                 if self.batch_size > 1 else None)
-        while True:
+
+        def produce_batch():
             labels = [next(it) for _ in range(self.batch_size)]
             if pool is None:
                 staged = [self._stage_fixed(lb) for lb in labels]
             else:
                 staged = list(pool.map(self._stage_fixed, labels))
-            imgs, boxes, classes, valid = (np.stack(z) for z in
-                                           zip(*staged))
+            return tuple(np.stack(z) for z in zip(*staged))
+
+        for imgs, boxes, classes, valid in self._prefetched(produce_batch):
             self.key, sub = jax.random.split(self.key)
             images01, boxes_t, classes_t, masks_t = self._aug_targets_fn(
                 jnp.asarray(imgs), jnp.asarray(boxes),
@@ -186,14 +216,16 @@ class EfficientDetPipeline:
         it = iter(self.sampler)
         pool = (ThreadPoolExecutor(min(8, self.batch_size))
                 if self.batch_size > 1 else None)
-        while True:
+
+        def produce_batch():
             items = [(next(it), self._rng.getrandbits(32))
                      for _ in range(self.batch_size)]
             if pool is None:
-                staged = [self._get_random_data(lb, sd) for lb, sd in items]
-            else:
-                staged = list(pool.map(
-                    lambda a: self._get_random_data(*a), items))
+                return [self._get_random_data(lb, sd) for lb, sd in items]
+            return list(pool.map(
+                lambda a: self._get_random_data(*a), items))
+
+        for staged in self._prefetched(produce_batch):
             imgs, boxes_l, classes_l, valid_l, raw = [], [], [], [], []
             for img, boxes, classes in staged:
                 b, c, v = pad_labels(boxes, classes.tolist(), self.max_boxes)
