@@ -79,12 +79,77 @@ def bench_efficientdet():
     return p50(predict, variables, x)
 
 
-def main():
-    results = {
-        "yolov4_416_p50_ms": round(bench_yolo(416), 3),
-        "yolov4_640_p50_ms": round(bench_yolo(640), 3),
-        "efficientdet_d0_p50_ms": round(bench_efficientdet(), 3),
+def bench_host_path(size=416, src_hw=(480, 640)):
+    """Host-side per-request costs of the HTTP endpoint (CPU, any box):
+    request prep (base64+decode+letterbox) and response build
+    (draw + 2× JPEG encode + base64) — PIL fallback vs the native
+    libjpeg path (`native/preproc.cc`), plus the `read=0` boxes-only
+    response (skips the image payloads entirely)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from tmv_tpu.serving.app import _encode_image_b64, _native_decode
+    from tmv_tpu.utils import image_helper as IH
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, src_hw + (3,), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="JPEG", quality=90)
+    jpeg = buf.getvalue()
+    b64 = base64.b64encode(jpeg).decode()
+
+    def t(fn, iters=40):
+        fn()
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return float(np.percentile(times, 50) * 1000)
+
+    def pil_prep():
+        img_old = IH.bytes_to_image(IH.base64_to_bytes(b64))
+        IH.proportional_resize(img_old, np.int32((size, size)))
+
+    def native_prep():
+        _native_decode(IH.base64_to_bytes(b64), (size, size))
+
+    boxes = np.array([[20, 30, 200, 220], [100, 120, 380, 400]], np.int32)
+    drawn = IH.draw_boxes(src, boxes, ["a", "b"], [0.9, 0.8])
+
+    def pil_resp():
+        IH.draw_boxes(src, boxes, ["a", "b"], [0.9, 0.8])
+        IH.bytes_to_base64(IH.image_to_bytes(drawn))
+        IH.bytes_to_base64(IH.image_to_bytes(drawn))
+
+    def native_resp():
+        IH.draw_boxes(src, boxes, ["a", "b"], [0.9, 0.8])
+        _encode_image_b64(drawn)
+        _encode_image_b64(drawn)
+
+    out = {
+        "serving_host_prep_pil_ms": round(t(pil_prep), 2),
+        "serving_host_resp_pil_ms": round(t(pil_resp), 2),
+        "serving_host_resp_read0_ms": 0.0,
     }
+    if _native_decode(jpeg, (size, size)) is not None:
+        out["serving_host_prep_native_ms"] = round(t(native_prep), 2)
+        out["serving_host_resp_native_ms"] = round(t(native_resp), 2)
+    return out
+
+
+def main():
+    if "--host-only" in sys.argv:
+        results = bench_host_path()
+    else:
+        results = {
+            "yolov4_416_p50_ms": round(bench_yolo(416), 3),
+            "yolov4_640_p50_ms": round(bench_yolo(640), 3),
+            "efficientdet_d0_p50_ms": round(bench_efficientdet(), 3),
+            **bench_host_path(),
+        }
     print(json.dumps(results))
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "baseline_measured.json")
