@@ -415,3 +415,51 @@ class TestServingRealModel:
         assert expected.shape[0] == boxes_px.shape[0]
         np.testing.assert_allclose(
             boxes_px.astype(np.float32), expected, atol=1.01)
+
+
+class TestOpsEndpoints:
+    """r3 operational surface: /healthz and /stats."""
+
+    def test_healthz(self, app):
+        status, body = wsgi_post(app, "/healthz", {})
+        assert status.startswith("200")
+        assert json.loads(body) == {"status": "ok"}
+
+    def test_stats_counts_requests_and_latency(self, app):
+        img = np.zeros((64, 64, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG")
+        data_url = ("data:image/jpeg;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        for _ in range(3):
+            status, _ = wsgi_post(
+                app, "/ai_api/object_detection/predict",
+                {"img_data": data_url, "read": 0})
+            assert status.startswith("200")
+        status, body = wsgi_post(
+            app, "/ai_api/object_detection/stats", {})
+        assert status.startswith("200")
+        stats = json.loads(body)
+        assert stats["requests"] == 3
+        assert stats["latency_ms_p50"] > 0
+        assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
+
+    def test_read_zero_skips_image_payloads(self, app):
+        img = np.zeros((64, 64, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG")
+        data_url = ("data:image/jpeg;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        status, body = wsgi_post(
+            app, "/ai_api/object_detection/predict",
+            {"img_data": data_url, "read": 0})
+        assert status.startswith("200")
+        out = json.loads(body)
+        assert out["random_img"] == "" and out["result_img"] == ""
+        assert out["boxes"]  # detection still returned
+        # default (read omitted) keeps the reference behavior
+        status, body = wsgi_post(
+            app, "/ai_api/object_detection/predict",
+            {"img_data": data_url})
+        out = json.loads(body)
+        assert out["random_img"] and out["result_img"]

@@ -190,6 +190,8 @@ def main():
     print("predictor warm")
 
     service = DetectionService(predict_fn, variables, classes_name, image_wh)
+    if args.batch > 1:
+        service.batcher = batcher  # /stats batch-size histogram
     run_server(service, args.host, args.port, threaded=args.batch > 1)
 
 

@@ -31,6 +31,10 @@ class DetectionService:
         self.variables = variables
         self.classes_name = classes_name
         self.image_wh = image_wh
+        # operational counters for the /stats endpoint
+        self.request_count = 0
+        self.latencies_ms: list = []
+        self.batcher = None  # set by cli/serve.py when micro-batching
 
     def predict_image(self, img_old: np.ndarray,
                       confidence_thresh: float = 0.5):
@@ -163,10 +167,48 @@ def create_app(service: DetectionService):
                            [("Content-Type", "application/json")])
             return [body]
 
+    def healthz(environ, start_response):
+        """Liveness/readiness: the predictor was warmed before the server
+        started accepting traffic, so reachable ⇒ ready."""
+        start_response("200 OK", [("Content-Type", "application/json")])
+        return [json.dumps({"status": "ok"}).encode()]
+
+    def stats(environ, start_response):
+        """Operational counters (no reference counterpart): request
+        count/latency percentiles and, when micro-batching, the dispatch
+        batch-size histogram."""
+        out = {
+            "requests": service.request_count,
+            "latency_ms_p50": None,
+            "latency_ms_p99": None,
+        }
+        lat = service.latencies_ms[-1000:]
+        if lat:
+            out["latency_ms_p50"] = round(float(np.percentile(lat, 50)), 3)
+            out["latency_ms_p99"] = round(float(np.percentile(lat, 99)), 3)
+        batcher = getattr(service, "batcher", None)
+        if batcher is not None and batcher.batch_sizes:
+            sizes = batcher.batch_sizes[-1000:]
+            out["batch_size_mean"] = round(float(np.mean(sizes)), 2)
+            out["batch_dispatches"] = len(batcher.batch_sizes)
+        start_response("200 OK", [("Content-Type", "application/json")])
+        return [json.dumps(out).encode()]
+
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "/")
         if path == "/ai_api/object_detection/predict":
-            return predict(environ, start_response)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            resp = predict(environ, start_response)
+            service.request_count += 1
+            service.latencies_ms.append(
+                (_time.perf_counter() - t0) * 1000.0)
+            return resp
+        if path == "/healthz":
+            return healthz(environ, start_response)
+        if path == "/ai_api/object_detection/stats":
+            return stats(environ, start_response)
         return index(environ, start_response)
 
     return app
