@@ -137,10 +137,62 @@ def setup_yolo(size=640):
             lambda k: np.asarray(predict_chain(variables, x1, k)))
 
 
+def _backend_alive(timeout_s: int = 150) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can wedge such that backend init hangs forever inside
+    ``make_c_api_client`` (observed 2026-08-17) — an in-process probe
+    cannot be interrupted, so a hung tunnel would hang the whole bench.
+    """
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _fallback_line(t0):
+    """Honest degraded artifact: the accelerator is unreachable, so emit
+    the carried numbers from baseline_measured.json explicitly flagged as
+    carried — never silently hang or fabricate a fresh measurement."""
+    measured = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            measured = json.load(f)
+    print(json.dumps({
+        "metric": "efficientdet_d0_infer_images_per_sec_per_chip",
+        "value": measured.get("efficientdet_d0_infer_images_per_sec", 0.0),
+        "unit": "images/sec",
+        "vs_baseline": round(
+            measured.get("efficientdet_d0_infer_images_per_sec", 0.0)
+            / measured.get("efficientdet_d0_tf_cpu_ips",
+                           FALLBACK_TF_CPU_IPS), 2),
+        "extra": {
+            "tpu_unavailable": True,
+            "note": "accelerator backend init hung/failed (axon tunnel "
+                    "wedge); all values carried from the last successful "
+                    "measurement in baseline_measured.json, NOT re-measured "
+                    "this run",
+            **{k: v for k, v in measured.items()
+               if isinstance(v, (int, float))},
+            "bench_wall_sec": round(time.time() - t0, 1),
+        },
+    }))
+
+
 def main():
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
+    if not _backend_alive():
+        _fallback_line(t0)
+        return
     d0_run = setup_d0()
     yolo_fwd_run, yolo_predict_run = setup_yolo(640)
 
