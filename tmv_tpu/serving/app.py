@@ -190,7 +190,7 @@ def create_app(service: DetectionService):
         if batcher is not None and batcher.batch_sizes:
             sizes = batcher.batch_sizes[-1000:]
             out["batch_size_mean"] = round(float(np.mean(sizes)), 2)
-            out["batch_dispatches"] = len(batcher.batch_sizes)
+            out["batch_dispatches"] = batcher.dispatch_count
         start_response("200 OK", [("Content-Type", "application/json")])
         return [json.dumps(out).encode()]
 
@@ -204,6 +204,8 @@ def create_app(service: DetectionService):
             service.request_count += 1
             service.latencies_ms.append(
                 (_time.perf_counter() - t0) * 1000.0)
+            if len(service.latencies_ms) > 10_000:  # bound a long server
+                del service.latencies_ms[:5_000]
             return resp
         if path == "/healthz":
             return healthz(environ, start_response)

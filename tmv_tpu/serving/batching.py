@@ -45,7 +45,8 @@ class MicroBatcher:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
-        self.batch_sizes: list = []  # dispatch history (introspection/tests)
+        self.batch_sizes: list = []  # recent dispatch sizes (bounded)
+        self.dispatch_count = 0      # monotonic total
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -116,6 +117,9 @@ class MicroBatcher:
             images = [img for img, _ in items]
             futures = [fut for _, fut in items]
             self.batch_sizes.append(len(images))
+            self.dispatch_count += 1
+            if len(self.batch_sizes) > 10_000:  # bound a long server
+                del self.batch_sizes[:5_000]
             # Per-image shape validation: a wrong-shaped image fails its
             # own future only — never the batch-mates, never the collector
             # thread (which would strand every later request).
