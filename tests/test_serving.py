@@ -126,12 +126,32 @@ class TestServeFlagValidation:
         with pytest.raises(SystemExit):
             self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
                          "--int8", "--int8Static", "calib/"])
+        # dynamic int8 stays batch-1-only; STATIC int8 composes with the
+        # micro-batch queue (r3) — must parse
         with pytest.raises(SystemExit):
             self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
-                         "--int8Static", "calib/", "--batch", "4"])
+                         "--int8", "--batch", "4"])
+        args = self._parse(["--classesFile", "c.txt", "--anchorsFile",
+                            "a.txt", "--int8Static", "calib/",
+                            "--batch", "4"])
+        assert args.int8Static == "calib/" and args.batch == 4
         with pytest.raises(SystemExit):
             self._parse(["--classesFile", "c.txt",
                          "--artifact", "m.tmvx", "--int8Static", "calib/"])
+
+    def test_dp_flag_validation(self):
+        with pytest.raises(SystemExit):  # dp needs batching
+            self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
+                         "--dp", "4"])
+        with pytest.raises(SystemExit):  # batch must divide
+            self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
+                         "--batch", "6", "--dp", "4"])
+        with pytest.raises(SystemExit):  # artifact pins its own program
+            self._parse(["--classesFile", "c.txt", "--artifact", "m.tmvx",
+                         "--dp", "4"])
+        args = self._parse(["--classesFile", "c.txt", "--anchorsFile",
+                            "a.txt", "--batch", "8", "--dp", "4"])
+        assert args.dp == 4
 
     def test_anchors_required_without_artifact(self):
         with pytest.raises(SystemExit):
