@@ -158,3 +158,35 @@ class TestPipelineDeviceAug:
         # some anchors must be assigned foreground across the batch
         fg = sum(float(np.asarray(m).sum()) for m in b_dev["masks"])
         assert fg > 0
+
+
+class TestParameterDistribution:
+    def test_affine_params_match_host_ranges(self):
+        """Recover (sx, sy, dx, dy) from the exact box transform over many
+        keys and pin the host path's parameter distribution: scale uniform
+        [0.5, 2.0), offset uniform [-45, 45) (`_get_random_data`)."""
+        s = 64
+        img = jnp.zeros((s, s, 3), jnp.uint8)
+        # unit square at a known spot: corners recover the affine exactly
+        boxes = jnp.asarray([[10.0, 12.0, 20.0, 26.0]], jnp.float32)
+        valid = jnp.asarray([True])
+        sxs, dxs = [], []
+        for i in range(200):
+            _, b, _ = efficientdet_augment_one(
+                img, boxes, valid, jax.random.key(i), s)
+            b = np.asarray(b)[0]
+            # clip-free region check: skip samples whose box hit the frame
+            if b[0] <= 0 or b[1] <= 0 or b[2] >= s or b[3] >= s:
+                continue
+            sx = (b[2] - b[0]) / 10.0
+            tx = b[0] - 10.0 * sx
+            dx = tx - s / 2.0 * (1.0 - sx)
+            sxs.append(sx)
+            dxs.append(dx)
+        sxs, dxs = np.asarray(sxs), np.asarray(dxs)
+        assert len(sxs) > 50
+        assert sxs.min() >= 0.5 - 1e-4 and sxs.max() < 2.0 + 1e-4
+        assert dxs.min() >= -45.0 - 1e-3 and dxs.max() < 45.0 + 1e-3
+        # both halves of each range get hit (uniform, not degenerate)
+        assert (sxs < 1.0).any() and (sxs > 1.3).any()
+        assert (dxs < -10).any() and (dxs > 10).any()
