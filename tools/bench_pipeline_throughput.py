@@ -262,11 +262,95 @@ def bench_train_d0(img_dir, labels, classes, size=512):
     return synth_ips, fed_ips, devaug_fed_ips
 
 
+def bench_stage_devaug(img_dir, labels, classes, size=512):
+    """Host staging of the device-aug path: native decode+letterbox only
+    (`efficientdet_pipeline._stage_fixed`) — the rate the host can feed
+    when augmentation runs on-device."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tmv_tpu.data.efficientdet_pipeline import EfficientDetPipeline
+    from tmv_tpu.ops.anchors import Anchors
+
+    anchors = Anchors(3, 7, (size, size), 3,
+                      [(1.0, 1.0), (1.4, 0.7), (0.7, 1.4)], 4.0)
+    pipe = EfficientDetPipeline(
+        img_dir, labels, classes, batch_size=BATCH, anchors=anchors,
+        num_classes=3, image_size=size, augment=True, label_mean=False,
+        device_aug=True,
+    )
+    pool = ThreadPoolExecutor(min(8, BATCH))
+    it = iter(pipe.sampler)
+
+    def stage_batch(lbs):
+        return list(pool.map(pipe._stage_fixed, lbs))
+
+    return _measure_stage(stage_batch, it, BATCH)
+
+
 def main():
     import jax
 
     root = tempfile.mkdtemp(prefix="tmv_pipe_bench_")
     img_dir, labels, classes = make_dataset(root)
+
+    if "--stage-only" in sys.argv:
+        # host-only rates (no accelerator needed): what can the host FEED?
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tmv_tpu.data.yolo_pipeline import YoloDataPipeline
+
+        anchors = np.array(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * 608 / 416
+        pipe = YoloDataPipeline(
+            img_dir, labels, classes, batch_size=BATCH, anchors=anchors,
+            image_wh=(608, 608), image_random=True, label_mean=False,
+            prefetch=0,
+        )
+        pipe._pool = ThreadPoolExecutor(min(8, BATCH))
+        y_stage = _measure_stage(pipe._stage_batch, iter(pipe.sampler),
+                                 BATCH)
+
+        from tmv_tpu.data.efficientdet_pipeline import EfficientDetPipeline
+        from tmv_tpu.ops.anchors import Anchors
+
+        ed_anchors = Anchors(3, 7, (512, 512), 3,
+                             [(1.0, 1.0), (1.4, 0.7), (0.7, 1.4)], 4.0)
+        ed = EfficientDetPipeline(
+            img_dir, labels, classes, batch_size=BATCH, anchors=ed_anchors,
+            num_classes=3, image_size=512, augment=True, label_mean=False,
+        )
+        pool = ThreadPoolExecutor(min(8, BATCH))
+        seed = [0]
+
+        def ed_stage(lbs):
+            seed[0] += 1
+            return list(pool.map(
+                lambda a: ed._get_random_data(*a),
+                [(lb, seed[0] * 1000 + i) for i, lb in enumerate(lbs)]))
+
+        e_stage = _measure_stage(ed_stage, iter(ed.sampler), BATCH)
+        e_dev_stage = bench_stage_devaug(img_dir, labels, classes)
+        results = {
+            "pipeline_yolo608_stage_ips": round(y_stage, 2),
+            "pipeline_efficientdet512_stage_ips": round(e_stage, 2),
+            "pipeline_efficientdet512_devaug_stage_ips":
+                round(e_dev_stage, 2),
+            "pipeline_bench_host_cpus": os.cpu_count(),
+        }
+        print(json.dumps(results))
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "baseline_measured.json")
+        data = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                data = json.load(f)
+        data.update(results)
+        with open(out_path, "w") as f:
+            json.dump(data, f, indent=2)
+        return
+
     y_stage, y_iter = bench_yolo(img_dir, labels, classes)
     e_stage, e_iter, e_dev_iter = bench_efficientdet(img_dir, labels,
                                                      classes)
