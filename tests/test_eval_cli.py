@@ -106,3 +106,38 @@ class TestEvalCLI:
                                        "--maxImages", "1"], capsys)
         assert out["images"] == 1
         assert 0.0 <= out["mAP"] <= 1.0
+
+
+class TestBatchedEval:
+    def test_yolo_batchsize_matches_single(self, dataset, capsys):
+        """--batchSize B returns the same mAP as per-image evaluation:
+        the batched predictor and pipeline are exact, not approximate."""
+        args = BASE(dataset) + ["--version", "v3", "--maxImages", "3",
+                                "--mode", "global"]
+        ref = run_cli(args, capsys)
+        out = run_cli(args + ["--batchSize", "2"], capsys)
+        assert out["images"] == ref["images"] == 3
+        assert out["mAP"] == pytest.approx(ref["mAP"], abs=1e-6)
+
+    def test_efficientdet_batchsize_runs(self, dataset, capsys):
+        out = run_cli([
+            "--family", "efficientdet",
+            "--imagePath", str(dataset / "imgs"),
+            "--labelFile", str(dataset / "labels.txt"),
+            "--classesFile", str(dataset / "classes.txt"),
+            "--imageSize", "64", "--maxImages", "3", "--batchSize", "2",
+            "--mode", "global",
+        ], capsys)
+        assert out["images"] == 3
+        assert 0.0 <= out["mAP"] <= 1.0
+
+
+class TestInt8EvalCLI:
+    def test_yolo_int8_static_batched(self, dataset, capsys):
+        """--int8Static composes with --batchSize (calibration stays at
+        ~16 images regardless of batch size)."""
+        out = run_cli(BASE(dataset) + [
+            "--version", "v3", "--maxImages", "2", "--batchSize", "2",
+            "--mode", "global", "--int8Static"], capsys)
+        assert out["quant"] == "int8_static"
+        assert 0.0 <= out["mAP"] <= 1.0

@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--imageSize", type=int, default=416)
     p.add_argument("--maxImages", type=int, default=0,
                    help="cap evaluated images (0 = whole set once)")
+    p.add_argument("--batchSize", type=int, default=1,
+                   help="evaluate this many images per device call "
+                        "(throughput; per-image results are identical)")
     p.add_argument("--mode", default="batch", choices=["batch", "global"])
     p.add_argument("--variant", default="reference",
                    choices=["reference", "voc", "coco"])
@@ -124,7 +127,8 @@ def eval_yolo(args):
     anchors = load_anchors(args.anchorsFile)
     image_wh = (args.imageSize, args.imageSize)
     pipeline = YoloDataPipeline(
-        args.imagePath, args.labelFile, args.classesFile, batch_size=1,
+        args.imagePath, args.labelFile, args.classesFile,
+        batch_size=args.batchSize,
         anchors=anchors, image_wh=image_wh, image_random=False,
         label_mean=False, prefetch=2,
     )
@@ -141,33 +145,51 @@ def eval_yolo(args):
             calibrate_model, prepare_static_int8_variables,
         )
 
-        calib = [b["image"] for _, b in zip(range(16), pipeline)]
-        print(f"calibrating int8 scales on {len(calib)} images...")
+        n_calib = max(1, (16 + args.batchSize - 1) // args.batchSize)
+        calib = [b["image"] for _, b in zip(range(n_calib), pipeline)]
+        print(f"calibrating int8 scales on "
+              f"{sum(len(c) for c in calib)} images...")
         variables = prepare_static_int8_variables(
             variables, calibrate_model(model, variables, calib,
                                        train=False))
         quant = "int8_static"
-    predict = make_yolo_predict(
-        model, image_wh, anchors, classes_num,
+    kwargs = dict(
         confidence_thresh=args.confidenceThresh,
         scores_thresh=args.scoresThresh, iou_thresh=args.iouThresh,
         iou_type=iou_type, quant=quant,
     )
+    if args.batchSize > 1:
+        from tmv_tpu.models.detector_harness import (
+            make_yolo_predict_batched,
+        )
+
+        predict_b = make_yolo_predict_batched(
+            model, image_wh, anchors, classes_num, **kwargs)
+    else:
+        predict_1 = make_yolo_predict(
+            model, image_wh, anchors, classes_num, **kwargs)
+
+        def predict_b(variables, images):
+            b, i, s, v = predict_1(variables, images)
+            return b[None], i[None], s[None], v[None]
 
     n = args.maxImages or pipeline.labels_num
     data = []
-    for i, batch in zip(range(n), pipeline):
-        boxes, ids, scores, valid = predict(variables, batch["image"])
-        v = np.asarray(valid)
-        pred = np.concatenate(
-            [np.asarray(boxes)[v],
-             np.asarray(ids)[v][:, None].astype(np.float64),
-             np.asarray(scores)[v][:, None]], axis=-1)
-        gt = ground_truth_from_targets(
-            [np.asarray(t[0]) for t in batch["targets"]], classes_num)
-        data.append({"image_path": f"{i}.jpg",
-                     "groud_truth": gt.tolist(),
-                     "prediction": pred.tolist()})
+    n_batches = (n + args.batchSize - 1) // args.batchSize
+    for bi, batch in zip(range(n_batches), pipeline):
+        boxes_b, ids_b, scores_b, valid_b = predict_b(
+            variables, batch["image"])
+        for j in range(min(args.batchSize, n - bi * args.batchSize)):
+            v = np.asarray(valid_b[j])
+            pred = np.concatenate(
+                [np.asarray(boxes_b[j])[v],
+                 np.asarray(ids_b[j])[v][:, None].astype(np.float64),
+                 np.asarray(scores_b[j])[v][:, None]], axis=-1)
+            gt = ground_truth_from_targets(
+                [np.asarray(t[j]) for t in batch["targets"]], classes_num)
+            data.append({"image_path": f"{bi * args.batchSize + j}.jpg",
+                         "groud_truth": gt.tolist(),
+                         "prediction": pred.tolist()})
 
     return {"mAP": score_dataset(data, classes_num, args.mode, args.variant,
                                  args.thresh),
@@ -197,7 +219,8 @@ def eval_efficientdet(args):
         anchor_scale=cfg.anchor_scale,
     )
     pipeline = EfficientDetPipeline(
-        args.imagePath, args.labelFile, args.classesFile, batch_size=1,
+        args.imagePath, args.labelFile, args.classesFile,
+        batch_size=args.batchSize,
         anchors=anchors, num_classes=cfg.num_classes,
         image_size=cfg.image_size, augment=False, label_mean=False,
         with_raw_boxes=True,
@@ -212,8 +235,10 @@ def eval_efficientdet(args):
             calibrate_model, prepare_static_int8_variables,
         )
 
-        calib = [b["image"] for _, b in zip(range(16), pipeline)]
-        print(f"calibrating int8 scales on {len(calib)} images...")
+        n_calib = max(1, (16 + args.batchSize - 1) // args.batchSize)
+        calib = [b["image"] for _, b in zip(range(n_calib), pipeline)]
+        print(f"calibrating int8 scales on "
+              f"{sum(len(c) for c in calib)} images...")
         variables = prepare_static_int8_variables(
             variables, calibrate_model(model, variables, calib,
                                        train=False))
@@ -222,9 +247,12 @@ def eval_efficientdet(args):
 
     n = args.maxImages or pipeline.labels_num
     data = []
-    for i, batch in zip(range(n), pipeline):
-        for pred, gt in collect(variables, batch):
-            data.append({"image_path": f"{i}.jpg",
+    n_batches = (n + args.batchSize - 1) // args.batchSize
+    for bi, batch in zip(range(n_batches), pipeline):
+        for j, (pred, gt) in enumerate(collect(variables, batch)):
+            if bi * args.batchSize + j >= n:
+                break
+            data.append({"image_path": f"{bi * args.batchSize + j}.jpg",
                          "groud_truth": gt.tolist(),
                          "prediction": pred.tolist()})
     return {"mAP": score_dataset(data, cfg.num_classes, args.mode,
