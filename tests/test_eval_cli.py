@@ -108,6 +108,7 @@ class TestEvalCLI:
         assert 0.0 <= out["mAP"] <= 1.0
 
 
+@pytest.mark.slow  # compiles two predictor variants
 class TestBatchedEval:
     def test_yolo_batchsize_matches_single(self, dataset, capsys):
         """--batchSize B returns the same mAP as per-image evaluation:
@@ -132,6 +133,7 @@ class TestBatchedEval:
         assert 0.0 <= out["mAP"] <= 1.0
 
 
+@pytest.mark.slow  # quantized trace compile
 class TestInt8EvalCLI:
     def test_yolo_int8_static_batched(self, dataset, capsys):
         """--int8Static composes with --batchSize (calibration stays at
