@@ -259,3 +259,43 @@ class TestShardedMicroBatcher:
             expect = float(img.sum()) * 3.0
             assert a == pytest.approx(expect, rel=1e-5)
             assert b == pytest.approx(2 * expect, rel=1e-5)
+
+
+@pytest.mark.slow  # YOLOv3 predictor compiles twice (sharded + reference)
+class TestSpatialInference:
+    def test_spatial_predictor_matches_single(self):
+        """`shard_predict_spatial`: the height-sharded single-image
+        predictor (GSPMD conv halo exchange) reproduces the unsharded
+        outputs."""
+        from tmv_tpu.models.detector_harness import (
+            build_yolo_model, make_yolo_predict,
+        )
+        from tmv_tpu.parallel.inference import make_spatial_predictor
+
+        size = 64
+        anchors = np.asarray(
+            [[[116, 90], [156, 198], [373, 326]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[10, 13], [16, 30], [33, 23]]], np.float32) * size / 416
+        model, iou_type = build_yolo_model("v3", 3, anchors_per_scale=3)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, size, size, 3)), train=False)
+        variables = {
+            "params": jax.tree.map(lambda t: t * 0.2, variables["params"]),
+            "batch_stats": variables["batch_stats"]}
+        predict = make_yolo_predict(
+            model, (size, size), anchors, 3, confidence_thresh=0.0,
+            scores_thresh=0.0, max_output_size=16, iou_type=iou_type)
+        img = jnp.asarray(np.random.default_rng(5).uniform(
+            size=(1, size, size, 3)).astype(np.float32))
+
+        ref = predict(variables, img)
+        sharded, placed, mesh = make_spatial_predictor(
+            predict, variables, 8)
+        out = sharded(placed, jax.device_put(
+            img, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, "space"))))
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(r, np.float32),
+                                       np.asarray(o, np.float32),
+                                       rtol=1e-5, atol=1e-5)

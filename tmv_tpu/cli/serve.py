@@ -34,6 +34,11 @@ def parse_args():
                    help="shard the micro-batch over this many devices "
                         "(data-parallel serving, requires --batch divisible "
                         "by it; 0 = single device)")
+    p.add_argument("--spatial", type=int, default=0,
+                   help="shard each image's HEIGHT over this many devices "
+                        "(latency-direction scaling for big resolutions; "
+                        "--batch 1 only, imageSize divisible by it; "
+                        "0 = off)")
     p.add_argument("--int8", action="store_true",
                    help="experimental dynamic-int8 conv path; on v5e the "
                         "bandwidth-bound YOLO models run ~0.8x bf16 "
@@ -73,6 +78,13 @@ def parse_args():
             if args.batch % args.dp:
                 p.error(f"--batch {args.batch} is not divisible by "
                         f"--dp {args.dp}")
+        if args.spatial:
+            if args.batch > 1 or args.dp:
+                p.error("--spatial is the latency direction: --batch 1, "
+                        "no --dp (combine via a 2-D mesh is future work)")
+            if args.imageSize % args.spatial:
+                p.error(f"--imageSize {args.imageSize} is not divisible "
+                        f"by --spatial {args.spatial}")
     return args
 
 
@@ -185,6 +197,13 @@ def main():
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
             iou_type=iou_type, quant=quant,
         )
+        if args.spatial:
+            from tmv_tpu.parallel.inference import make_spatial_predictor
+
+            predict_fn, variables, mesh = make_spatial_predictor(
+                predict_fn, variables, args.spatial)
+            print(f"spatial serving over {mesh.devices.size} devices "
+                  "(image height sharded)")
         # warm the jit cache before accepting traffic (import-time parity)
         predict_fn(variables, jnp.zeros((1, image_wh[1], image_wh[0], 3)))
     print("predictor warm")

@@ -39,6 +39,39 @@ def shard_predict(predict_fn: Callable, mesh: Mesh,
                    out_shardings=data)
 
 
+def shard_predict_spatial(predict_fn: Callable, mesh: Mesh,
+                          axis: str = "space") -> Callable:
+    """Latency-direction sharding: split the single image's HEIGHT over
+    ``mesh``'s ``axis`` (variables replicated).
+
+    Where :func:`shard_predict` multiplies *throughput* (batch split, no
+    collectives), this divides *per-image latency*: the convolutional
+    forward partitions spatially and GSPMD inserts the conv halo
+    exchanges (``ppermute`` over ICI) automatically — the serving analog
+    of ``SpatialDataParallel`` (`parallel/spatial.py`); math is
+    bit-identical to the unsharded program.  Use for big-resolution
+    models (D6/D7x @1280–1536 px); at small resolutions halo traffic
+    eats the win.  Input: ``(variables, (1, H, W, 3))`` with H divisible
+    by the axis size; outputs are replicated for host fetch.
+    """
+    image = NamedSharding(mesh, P(None, axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(predict_fn, in_shardings=(repl, image),
+                   out_shardings=repl)
+
+
+def make_spatial_predictor(predict_fn: Callable, variables,
+                           n_devices: int = 0):
+    """Convenience for the serve CLI: 1-D ``space`` mesh over
+    ``n_devices`` (0 = all), variables replicated; returns
+    ``(sharded_predict, placed_variables, mesh)``."""
+    from tmv_tpu.parallel.mesh import create_mesh, replicate
+
+    mesh = create_mesh(n_devices or None, ("space",))
+    placed = replicate(variables, mesh)
+    return shard_predict_spatial(predict_fn, mesh), placed, mesh
+
+
 def make_sharded_batched_predictor(batched_predict: Callable, variables,
                                    n_devices: int = 0, axis: str = "data"):
     """Convenience for the serve CLI: build a 1-D data mesh over
