@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--studentPath", default="./data/student_weights")
     p.add_argument("--labelsOut", default="./data/teacher_labels.txt")
     p.add_argument("--outFilters", type=int, default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat) — the "
+                        "peak-HBM lever for large-batch training")
     return p.parse_args()
 
 
@@ -52,7 +55,7 @@ def main():
                                  if args.classesFile else ([], 0))
     image_wh = (args.imageSize, args.imageSize)
     out_filters = args.outFilters or 3 * (5 + classes_num)
-    model = ResNetYoloV3(out_filters=out_filters)
+    model = ResNetYoloV3(out_filters=out_filters, remat=args.remat)
     x0 = jnp.zeros((1, args.imageSize, args.imageSize, 3))
     variables = model.init(jax.random.key(0), x0, train=False)
     tx = optax.adam(args.lr)

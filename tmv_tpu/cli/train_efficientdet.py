@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument("--accumSteps", type=int, default=1,
                    help="gradient accumulation micro-steps (batchSize must "
                         "divide)")
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat on MBConv "
+                        "blocks, BiFPN cells, heads) — the peak-HBM lever "
+                        "for D4+ / high-res training on one chip")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices")
     p.add_argument("--sp", type=int, default=1,
@@ -73,6 +77,8 @@ def main():
         for _ in range(cfg.max_level):
             cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.remat:
+        cfg.remat = True
     model = EfficientDetNet(config=cfg, dtype=dtype)
 
     anchors = Anchors(

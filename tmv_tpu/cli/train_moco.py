@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--modelPath", default="./data/moco_weights")
     p.add_argument("--exportPath", default="./data/moco_k_weights")
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat) — the "
+                        "peak-HBM lever for large-batch training")
     return p.parse_args()
 
 
@@ -76,7 +79,8 @@ def main():
     )
 
     args = parse_args()
-    model = ResNetYoloV3(out_filters=args.outFilters)
+    model = ResNetYoloV3(out_filters=args.outFilters,
+                         remat=args.remat)
     s = args.imageSize
     x0 = jnp.zeros((1, s, s, 3))
     variables = model.init(jax.random.key(0), x0, train=False)
@@ -114,7 +118,8 @@ def main():
             args.trainImagePath, args.trainData, args.classesFile,
             args.batchSize, anchors, image_wh=(s, s))
         det_model = ResNetYoloV3(
-            out_filters=3 * (5 + pipeline.classes_num))
+            out_filters=3 * (5 + pipeline.classes_num),
+            remat=args.remat)
         det_vars = det_model.init(jax.random.key(0), x0, train=False)
 
         moco_template = {"params": variables["params"],

@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--accumSteps", type=int, default=1,
                    help="gradient accumulation micro-steps (batchSize must "
                         "divide)")
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat on every "
+                        "backbone/neck stage): ~1 extra forward of FLOPs "
+                        "for an O(activations) peak-HBM saving — enables "
+                        "large-batch / high-res training on one chip")
     # training-health callbacks (yolo_v3/train.py:76-77 defaults)
     p.add_argument("--earlyStopPatience", type=int, default=10,
                    help="epochs without train-loss improvement before "
@@ -83,7 +88,8 @@ def main():
     )
     model_cls = YoloV4 if args.version == "v4" else YoloV3
     iou_type = "ciou" if args.version == "v4" else "iou"
-    model = model_cls(classes_num=pipeline.classes_num, dtype=dtype)
+    model = model_cls(classes_num=pipeline.classes_num, dtype=dtype,
+                      remat=args.remat)
 
     x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
     variables = model.init(jax.random.key(0), x0, train=False)

@@ -44,6 +44,12 @@ class TrainState:
                ema_batch_stats: bool = False):
         """``ema_batch_stats=True`` also shadows BN moments — the FaceNet
         shadow model EMAs *all* variables (`facenet_model.py:304-312`)."""
+        # model.init under nn.remat can yield JAX *literal* leaves
+        # (TypedNdArray) for constant-initialized params; coerce to
+        # committed device arrays so orbax checkpointing and jit aliasing
+        # see uniform jax.Array leaves
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         state = cls(
             params=params,
             batch_stats=batch_stats,

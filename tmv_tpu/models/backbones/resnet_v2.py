@@ -57,21 +57,24 @@ class StackV2(nn.Module):
     blocks: int
     stride1: int = 2
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, tap_block: int | None = None):
+        Block = (nn.remat(BlockV2, static_argnums=(2,))
+                 if self.remat else BlockV2)
         tap = None
-        x = BlockV2(self.filters, conv_shortcut=True, dtype=self.dtype,
-                    name="block1")(x, train)
+        x = Block(self.filters, conv_shortcut=True, dtype=self.dtype,
+                  name="block1")(x, train)
         if tap_block == 1:
             tap = x
         for i in range(2, self.blocks):
-            x = BlockV2(self.filters, dtype=self.dtype,
-                        name=f"block{i}")(x, train)
+            x = Block(self.filters, dtype=self.dtype,
+                      name=f"block{i}")(x, train)
             if tap_block == i:
                 tap = x
-        x = BlockV2(self.filters, stride=self.stride1, dtype=self.dtype,
-                    name=f"block{self.blocks}")(x, train)
+        x = Block(self.filters, stride=self.stride1, dtype=self.dtype,
+                  name=f"block{self.blocks}")(x, train)
         if tap_block == self.blocks:
             tap = x
         return x, tap
@@ -79,20 +82,27 @@ class StackV2(nn.Module):
 
 class ResNet50V2(nn.Module):
     """Feature extractor returning (conv5_block3_out, conv4_block5_out,
-    conv3_block3_out) at strides (32, 16, 8)."""
+    conv3_block3_out) at strides (32, 16, 8).
+
+    ``remat=True``: block-level rematerialization (see ``YoloV4.remat``) —
+    exact, same variable tree.
+    """
 
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=True, dtype=self.dtype, name="conv1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x, _ = StackV2(64, 3, dtype=self.dtype, name="conv2")(x, train)
-        x, y3 = StackV2(128, 4, dtype=self.dtype, name="conv3")(
-            x, train, tap_block=3)
-        x, y2 = StackV2(256, 6, dtype=self.dtype, name="conv4")(
-            x, train, tap_block=5)
-        x, y1 = StackV2(512, 3, stride1=1, dtype=self.dtype, name="conv5")(
-            x, train, tap_block=3)
+        x, _ = StackV2(64, 3, dtype=self.dtype, remat=self.remat,
+                       name="conv2")(x, train)
+        x, y3 = StackV2(128, 4, dtype=self.dtype, remat=self.remat,
+                        name="conv3")(x, train, tap_block=3)
+        x, y2 = StackV2(256, 6, dtype=self.dtype, remat=self.remat,
+                        name="conv4")(x, train, tap_block=5)
+        x, y1 = StackV2(512, 3, stride1=1, dtype=self.dtype,
+                        remat=self.remat, name="conv5")(x, train,
+                                                        tap_block=3)
         return y1, y2, y3

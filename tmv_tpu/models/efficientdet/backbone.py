@@ -273,6 +273,7 @@ class BackboneModel(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
     fused_dw_eval: bool = False
+    remat: bool = False
 
     def scaled_blocks(self) -> List[EfficientDetBlockArgs]:
         out = []
@@ -305,13 +306,20 @@ class BackboneModel(nn.Module):
                  self.depth_divisor, self.bn_momentum, self.bn_epsilon,
                  self.dtype)(x, train)
         blocks = self.scaled_blocks()
+        # block-level rematerialization: backward recomputes each MBConv's
+        # interior (expand/dw/SE activations) instead of storing it — exact,
+        # same variable tree (explicit names pin the direct autonames; see
+        # YoloV4.remat)
+        Block = (nn.remat(MBConvBlock, static_argnums=(2,))
+                 if self.remat else MBConvBlock)
         reductions = []
         for idx, args in enumerate(blocks):
             is_last = idx == len(blocks) - 1
             next_downsamples = (not is_last) and blocks[idx + 1].strides[0] > 1
-            x = MBConvBlock(args, self.bn_momentum, self.bn_epsilon,
-                            self.dtype,
-                            fused_dw_eval=self.fused_dw_eval)(x, train)
+            x = Block(args, self.bn_momentum, self.bn_epsilon,
+                      self.dtype,
+                      fused_dw_eval=self.fused_dw_eval,
+                      name=f"MBConvBlock_{idx}")(x, train)
             if is_last or next_downsamples:
                 reductions.append(x)
         return [x] + reductions

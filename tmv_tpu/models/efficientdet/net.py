@@ -29,6 +29,13 @@ class EfficientDetNet(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         bn_m, bn_e = cfg.batch_norm_momentum, cfg.batch_norm_epsilon
+        # cfg.remat: block-level rematerialization (MBConv blocks, BiFPN
+        # cells, head nets) — exact, same variable tree, the peak-HBM lever
+        # for D4+ / high-res training on one chip (see YoloV4.remat)
+        remat = cfg.get("remat", False)
+        Cell = nn.remat(BiFPN, static_argnums=(2,)) if remat else BiFPN
+        Cls = nn.remat(ClassNet, static_argnums=(2,)) if remat else ClassNet
+        Box = nn.remat(BoxNet, static_argnums=(2,)) if remat else BoxNet
 
         backbone = BackboneModel(
             blocks_args=tuple(default_blocks_args()),
@@ -37,6 +44,7 @@ class EfficientDetNet(nn.Module):
             depth_divisor=cfg.depth_divisor,
             bn_momentum=bn_m, bn_epsilon=bn_e, dtype=self.dtype,
             fused_dw_eval=cfg.get("fused_dw_eval", False),
+            remat=remat,
             name="backbone",
         )
         all_feats = backbone(x, train)
@@ -53,7 +61,7 @@ class EfficientDetNet(nn.Module):
 
         levels_size = cfg.levels_size[cfg.min_level : cfg.max_level + 1]
         for rep in range(cfg.fpn_cell_repeats):
-            feats = BiFPN(
+            feats = Cell(
                 cfg.fpn_num_filters, tuple(levels_size),
                 weight_method=cfg.get("fpn_weight_method", "fastattn"),
                 bn_momentum=bn_m, bn_epsilon=bn_e, dtype=self.dtype,
@@ -62,13 +70,13 @@ class EfficientDetNet(nn.Module):
 
         num_levels = cfg.max_level - cfg.min_level + 1
         num_anchors = len(cfg.aspect_ratios) * cfg.num_scales
-        classes_outputs = ClassNet(
+        classes_outputs = Cls(
             num_classes=cfg.num_classes, num_anchors=num_anchors,
             num_filters=cfg.fpn_num_filters, num_levels=num_levels,
             repeats=cfg.box_class_repeats, survival_prob=cfg.survival_prob,
             dtype=self.dtype, name="class_net",
         )(feats, train)
-        boxes_outputs = BoxNet(
+        boxes_outputs = Box(
             num_anchors=num_anchors, num_filters=cfg.fpn_num_filters,
             num_levels=num_levels, repeats=cfg.box_class_repeats,
             survival_prob=cfg.survival_prob, dtype=self.dtype, name="box_net",

@@ -38,24 +38,29 @@ class ResNetYoloV3(nn.Module):
 
     out_filters: int
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
-        y1, y2, y3 = ResNet50V2(self.dtype)(x, train)
+        # remat: block-level rematerialization (see YoloV4.remat) — exact,
+        # same variable tree, peak-HBM lever for large-batch pretraining
+        Last = (nn.remat(LastLayers, static_argnums=(2,))
+                if self.remat else LastLayers)
+        y1, y2, y3 = ResNet50V2(self.dtype, remat=self.remat)(x, train)
 
-        x, h1 = LastLayers(512, self.dtype)(y1, train)
+        x, h1 = Last(512, self.dtype, name="LastLayers_0")(y1, train)
         h1 = DarknetConv(self.out_filters, 1, dtype=self.dtype)(h1)
 
         x = ConvBN(256, 1, act="leaky", dtype=self.dtype)(x, train)
         x = upsample2x(x)
         x = jnp.concatenate([x, y2], axis=-1)
-        x, h2 = LastLayers(256, self.dtype)(x, train)
+        x, h2 = Last(256, self.dtype, name="LastLayers_1")(x, train)
         h2 = DarknetConv(self.out_filters, 1, dtype=self.dtype)(h2)
 
         x = ConvBN(128, 1, act="leaky", dtype=self.dtype)(x, train)
         x = upsample2x(x)
         x = jnp.concatenate([x, y3], axis=-1)
-        x, h3 = LastLayers(128, self.dtype)(x, train)
+        x, h3 = Last(128, self.dtype, name="LastLayers_2")(x, train)
         h3 = DarknetConv(self.out_filters, 1, dtype=self.dtype)(h3)
         return h1, h2, h3
 

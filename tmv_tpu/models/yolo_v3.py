@@ -45,17 +45,22 @@ class ResblockBody(nn.Module):
 
 class DarknetBody(nn.Module):
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit names pin the direct model's autonames so the variable
+        # tree (and hence checkpoints) is identical with/without remat
+        Block = (nn.remat(ResblockBody, static_argnums=(2,))
+                 if self.remat else ResblockBody)
         x = ConvBN(32, 3, act="leaky", dtype=self.dtype)(x, train)
-        x = ResblockBody(64, 1, self.dtype)(x, train)
-        x = ResblockBody(128, 2, self.dtype)(x, train)
-        x = ResblockBody(256, 8, self.dtype)(x, train)
+        x = Block(64, 1, self.dtype, name="ResblockBody_0")(x, train)
+        x = Block(128, 2, self.dtype, name="ResblockBody_1")(x, train)
+        x = Block(256, 8, self.dtype, name="ResblockBody_2")(x, train)
         y3 = x
-        x = ResblockBody(512, 8, self.dtype)(x, train)
+        x = Block(512, 8, self.dtype, name="ResblockBody_3")(x, train)
         y2 = x
-        x = ResblockBody(1024, 4, self.dtype)(x, train)
+        x = Block(1024, 4, self.dtype, name="ResblockBody_4")(x, train)
         return x, y2, y3
 
 
@@ -76,29 +81,36 @@ class LastLayers(nn.Module):
 
 
 class YoloV3(nn.Module):
-    """Forward network: image → 3 raw heads (13², 26², 52² at 416 input)."""
+    """Forward network: image → 3 raw heads (13², 26², 52² at 416 input).
+
+    ``remat=True``: block-level rematerialization (see ``YoloV4.remat``) —
+    exact, same variable tree, peak-HBM lever for large-batch training.
+    """
 
     classes_num: int
     anchors_num: int = 3
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
+        Last = (nn.remat(LastLayers, static_argnums=(2,))
+                if self.remat else LastLayers)
         out_filters = self.anchors_num * (self.classes_num + 5)
-        y1, y2, y3 = DarknetBody(self.dtype)(x, train)
+        y1, y2, y3 = DarknetBody(self.dtype, remat=self.remat)(x, train)
 
-        x, h1 = LastLayers(512, self.dtype)(y1, train)
+        x, h1 = Last(512, self.dtype, name="LastLayers_0")(y1, train)
         h1 = DarknetConv(out_filters, 1, dtype=self.dtype)(h1)
 
         x = ConvBN(256, 1, act="leaky", dtype=self.dtype)(x, train)
         x = upsample2x(x)
         x = jnp.concatenate([x, y2], axis=-1)
-        x, h2 = LastLayers(256, self.dtype)(x, train)
+        x, h2 = Last(256, self.dtype, name="LastLayers_1")(x, train)
         h2 = DarknetConv(out_filters, 1, dtype=self.dtype)(h2)
 
         x = ConvBN(128, 1, act="leaky", dtype=self.dtype)(x, train)
         x = upsample2x(x)
         x = jnp.concatenate([x, y3], axis=-1)
-        x, h3 = LastLayers(128, self.dtype)(x, train)
+        x, h3 = Last(128, self.dtype, name="LastLayers_2")(x, train)
         h3 = DarknetConv(out_filters, 1, dtype=self.dtype)(h3)
         return h1, h2, h3

@@ -131,36 +131,59 @@ class OutputLayer2(nn.Module):
 
 
 class YoloV4(nn.Module):
-    """Forward network: image → (z1, z2, z3) raw heads (strides 32/16/8)."""
+    """Forward network: image → (z1, z2, z3) raw heads (strides 32/16/8).
+
+    ``remat=True`` wraps every stage module in ``nn.remat`` (block-level
+    rematerialization): the backward pass recomputes each stage's interior
+    activations instead of storing them, so peak HBM drops from
+    O(all activations) to O(stage boundaries + largest stage) for ~one
+    extra forward of FLOPs — the standard TPU lever for high-resolution /
+    large-batch training on one chip.  Exact: the variable tree and the
+    gradients are bitwise identical to the direct model (pinned by
+    ``tests/test_harness_extras.py::TestRemat``).  No reference
+    counterpart (the reference trains small-batch without checkpointing).
+    """
 
     classes_num: int
     anchors_num: int = 3
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
+        if self.remat:
+            Blocks = nn.remat(BlocksLayer, static_argnums=(2,))
+            Blocks2 = nn.remat(BlocksLayer2, static_argnums=(2,))
+            Last = nn.remat(LastLayer, static_argnums=(2,))
+            Last2 = nn.remat(LastLayer2, static_argnums=(3,))
+            Out2 = nn.remat(OutputLayer2, static_argnums=(3,))
+        else:
+            Blocks, Blocks2 = BlocksLayer, BlocksLayer2
+            Last, Last2, Out2 = LastLayer, LastLayer2, OutputLayer2
+        # explicit names pin the direct model's autonames so the variable
+        # tree (and hence checkpoints) is identical with/without remat
         out_filters = self.anchors_num * (5 + self.classes_num)
         x = ConvBN(32, 3, act="mish", dtype=self.dtype)(x, train)
-        x = BlocksLayer(64, self.dtype)(x, train)
-        x = BlocksLayer2(128, 2, self.dtype)(x, train)
-        x = BlocksLayer2(256, 8, self.dtype)(x, train)
+        x = Blocks(64, self.dtype, name="BlocksLayer_0")(x, train)
+        x = Blocks2(128, 2, self.dtype, name="BlocksLayer2_0")(x, train)
+        x = Blocks2(256, 8, self.dtype, name="BlocksLayer2_1")(x, train)
         y3 = x
-        x = BlocksLayer2(512, 8, self.dtype)(x, train)
+        x = Blocks2(512, 8, self.dtype, name="BlocksLayer2_2")(x, train)
         y2 = x
-        x = BlocksLayer2(1024, 4, self.dtype)(x, train)
+        x = Blocks2(1024, 4, self.dtype, name="BlocksLayer2_3")(x, train)
         y1 = x
 
-        y1 = LastLayer(512, self.dtype)(y1, train)
-        y2 = LastLayer2(256, self.dtype)(y1, y2, train)
-        y3 = LastLayer2(128, self.dtype)(y2, y3, train)
+        y1 = Last(512, self.dtype, name="LastLayer_0")(y1, train)
+        y2 = Last2(256, self.dtype, name="LastLayer2_0")(y1, y2, train)
+        y3 = Last2(128, self.dtype, name="LastLayer2_1")(y2, y3, train)
 
         # z3: 52² head (3×3 pre-conv = OutputLayer, yolo_v4/model.py:167-181)
         z3 = ConvBN(128 * 2, 3, act="leaky", dtype=self.dtype)(y3, train)
         z3 = DarknetConv(out_filters, 1, dtype=self.dtype)(z3)
         # z2: 26² head via PAN down from y3
-        z2, y2 = OutputLayer2(256, self.dtype)(y3, y2, train)
+        z2, y2 = Out2(256, self.dtype, name="OutputLayer2_0")(y3, y2, train)
         z2 = DarknetConv(out_filters, 1, dtype=self.dtype)(z2)
         # z1: 13² head via PAN down from y2
-        z1, y1 = OutputLayer2(512, self.dtype)(y2, y1, train)
+        z1, y1 = Out2(512, self.dtype, name="OutputLayer2_1")(y2, y1, train)
         z1 = DarknetConv(out_filters, 1, dtype=self.dtype)(z1)
         return z1, z2, z3
