@@ -293,3 +293,55 @@ class TestRemat:
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
             s0.params, s1.params)
+
+
+class TestRematZooUniformity:
+    """remat=True exactness for the rest of the zoo (UNet, FaceNet
+    backbones) — same variable tree, same loss/gradients."""
+
+    def _grad_pair(self, make_model, x):
+        outs = []
+        for remat in (False, True):
+            m = make_model(remat)
+            v = m.init(jax.random.key(0), x, False)
+
+            def loss(params):
+                y = m.apply({"params": params,
+                             "batch_stats": v.get("batch_stats", {})},
+                            x, False)
+                return jnp.sum(jnp.square(y))
+
+            l, g = jax.value_and_grad(loss)(v["params"])
+            outs.append((v, float(l), g))
+        (v0, l0, g0), (v1, l1, g1) = outs
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(v1))
+        assert l0 == pytest.approx(l1, rel=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
+
+    def test_unet_remat_exact(self):
+        from tmv_tpu.models.unet import UNetLogits
+
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 32, 32, 3)).astype(np.float32))
+        self._grad_pair(
+            lambda r: UNetLogits(depth=2, filters_base=4, output_filters=2,
+                                 remat=r), x)
+
+    @pytest.mark.slow  # full IRv1 grad compile ×2
+    def test_facenet_irv1_remat_exact(self):
+        from tmv_tpu.models.facenet.model import FaceNetModel
+
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 96, 96, 3)).astype(np.float32))
+        self._grad_pair(
+            lambda r: FaceNetModel(embedding_size=16, remat=r), x)
+
+    def test_repvgg_remat_exact(self):
+        from tmv_tpu.models.backbones.repvgg import get_repvgg_by_name
+
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 32, 32, 3)).astype(np.float32))
+        self._grad_pair(
+            lambda r: get_repvgg_by_name("RepVGG-A0", 8, remat=r), x)

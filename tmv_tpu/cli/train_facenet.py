@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--lfwDir", default=None)
     p.add_argument("--lfwPairs", default=None)
     p.add_argument("--emaDecay", type=float, default=0.9999)
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat) — "
+                        "the peak-HBM lever for large-batch training")
     return p.parse_args()
 
 
@@ -76,7 +79,7 @@ def main():
 
     args = parse_args()
     model = FaceNetModel(embedding_size=args.embeddingSize,
-                         backbone=args.backbone)
+                         backbone=args.backbone, remat=args.remat)
     x0 = jnp.zeros((1, args.imageSize, args.imageSize, 3))
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},

@@ -32,6 +32,13 @@ def parse_args():
                         "stopping (0 disables)")
     p.add_argument("--reduceLrPatience", type=int, default=0,
                    help="flat windows before LR *= 0.1 (0 disables)")
+    p.add_argument("--remat", action="store_true",
+                   help="block-level rematerialization (nn.remat) — "
+                        "the peak-HBM lever for large-batch training")
+    p.add_argument("--firstShape", action="store_true",
+                   help="accept multi-shape labelme files (take the first "
+                        "shape) instead of the reference's exactly-one-"
+                        "shape filter")
     return p.parse_args()
 
 
@@ -48,11 +55,12 @@ def main():
     args = parse_args()
     size = (args.inputSize, args.inputSize)
     batches, gen = get_dataset(
-        args.labelPath, args.batchSize, args.pointsNum, size, size)
+        args.labelPath, args.batchSize, args.pointsNum, size, size,
+        first_shape=args.firstShape)
     print(f"{gen.labels_num} labels")
 
     model = UNetLogits(depth=args.depth, filters_base=args.filtersBase,
-                       output_filters=args.pointsNum)
+                       output_filters=args.pointsNum, remat=args.remat)
     x0 = jnp.zeros((1, size[1], size[0], 3))
     variables = model.init(jax.random.key(0), x0, train=False)
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)

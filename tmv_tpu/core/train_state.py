@@ -50,6 +50,8 @@ class TrainState:
         # see uniform jax.Array leaves
         params = jax.tree.map(jnp.asarray, params)
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        if extra is not None:
+            extra = jax.tree.map(jnp.asarray, extra)
         state = cls(
             params=params,
             batch_stats=batch_stats,

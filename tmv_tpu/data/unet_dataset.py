@@ -130,6 +130,12 @@ def get_dataset(label_path: str, batch_size: int, points_num: int,
     import jax.numpy as jnp
 
     gen = UNetDataGenerator(label_path, input_size, seed, augment, first_shape)
+    if gen.labels_num == 0:
+        raise ValueError(
+            f"no usable labelme files under {label_path!r}: the default "
+            "keeps the reference's exactly-one-shape filter "
+            "(dataset_ywb.py:84-85); multi-shape files need "
+            "first_shape=True (CLI: --firstShape)")
     soft_label = SoftLabel(image_size=output_size, points_num=points_num,
                            kernel_size=kernel_size)
 

@@ -102,18 +102,28 @@ class InceptionResNetV1(nn.Module):
     classes: int
     dropout_rate: float = 0.2
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # remat: block-level rematerialization — exact, same variable tree
+        # (explicit names pin the direct autonames; see YoloV4.remat)
+        def R(cls):
+            return (nn.remat(cls, static_argnums=(2,))
+                    if self.remat else cls)
+
         x = StemV1(self.dtype)(x, train)
-        for _ in range(5):
-            x = InceptionResNetA(self.dtype)(x, train)
+        for i in range(5):
+            x = R(InceptionResNetA)(
+                self.dtype, name=f"InceptionResNetA_{i}")(x, train)
         x = ReductionA(192, 192, 256, 384, self.dtype)(x, train)
-        for _ in range(10):
-            x = InceptionResNetB(self.dtype)(x, train)
+        for i in range(10):
+            x = R(InceptionResNetB)(
+                self.dtype, name=f"InceptionResNetB_{i}")(x, train)
         x = ReductionBV1(self.dtype)(x, train)
-        for _ in range(5):
-            x = InceptionResNetC(self.dtype)(x, train)
+        for i in range(5):
+            x = R(InceptionResNetC)(
+                self.dtype, name=f"InceptionResNetC_{i}")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool (1,1) + flatten
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return nn.Dense(self.classes, dtype=self.dtype)(x)

@@ -89,18 +89,28 @@ class InceptionResNetV2(nn.Module):
     classes: int
     dropout_rate: float = 0.2
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # remat: block-level rematerialization — exact, same variable tree
+        # (explicit names pin the direct autonames; see YoloV4.remat)
+        def R(cls):
+            return (nn.remat(cls, static_argnums=(2,))
+                    if self.remat else cls)
+
         x = InceptionStem(self.dtype)(x, train)
-        for _ in range(5):
-            x = InceptionResNetA2(self.dtype)(x, train)
+        for i in range(5):
+            x = R(InceptionResNetA2)(
+                self.dtype, name=f"InceptionResNetA2_{i}")(x, train)
         x = ReductionA(256, 256, 384, 384, self.dtype)(x, train)
-        for _ in range(10):
-            x = InceptionResNetB2(self.dtype)(x, train)
+        for i in range(10):
+            x = R(InceptionResNetB2)(
+                self.dtype, name=f"InceptionResNetB2_{i}")(x, train)
         x = ReductionBV2(self.dtype)(x, train)
-        for _ in range(5):
-            x = InceptionResNetC2(self.dtype)(x, train)
+        for i in range(5):
+            x = R(InceptionResNetC2)(
+                self.dtype, name=f"InceptionResNetC2_{i}")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return nn.Dense(self.classes, dtype=self.dtype)(x)

@@ -81,6 +81,7 @@ class RepVGG(nn.Module):
     override_groups_map: Optional[Dict[int, int]] = None
     deploy: bool = False
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def stage_plan(self):
         """(filters, stride, groups) per block per stage (incl. stage0)."""
@@ -104,11 +105,15 @@ class RepVGG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         plan = self.stage_plan()
+        # remat: block-level rematerialization — exact, same variable tree
+        # (explicit names already pin the tree; see YoloV4.remat)
+        Block = (nn.remat(RepVGGBlock, static_argnums=(2,))
+                 if self.remat else RepVGGBlock)
         outs = {}
         for si, stage_blocks in enumerate(plan):
             for bi, (planes, stride, groups) in enumerate(stage_blocks):
-                x = RepVGGBlock(planes, stride, groups, self.deploy,
-                                self.dtype, name=f"stage{si}_block{bi}")(
+                x = Block(planes, stride, groups, self.deploy,
+                          self.dtype, name=f"stage{si}_block{bi}")(
                     x, train)
             outs[f"stage{si}"] = x
         if self.num_classes:
@@ -140,9 +145,11 @@ _VARIANTS = {
 
 
 def get_repvgg_by_name(name: str, num_classes: int = 1000,
-                       deploy: bool = False, dtype=jnp.float32) -> RepVGG:
+                       deploy: bool = False, dtype=jnp.float32,
+                       remat: bool = False) -> RepVGG:
     cfg = _VARIANTS[name]
-    return RepVGG(num_classes=num_classes, deploy=deploy, dtype=dtype, **cfg)
+    return RepVGG(num_classes=num_classes, deploy=deploy, dtype=dtype,
+                  remat=remat, **cfg)
 
 
 def _fuse_convbn(kernel, gamma, beta, mean, var, eps=1e-3):

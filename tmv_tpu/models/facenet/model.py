@@ -39,21 +39,22 @@ class FaceNetModel(nn.Module):
     backbone: str = "InceptionResNetV1"
     dropout_rate: float = 0.2
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level rematerialization (see YoloV4.remat)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.backbone == "InceptionResNetV1":
             net = InceptionResNetV1(self.embedding_size, self.dropout_rate,
-                                    self.dtype)
+                                    self.dtype, remat=self.remat)
         elif self.backbone == "InceptionResNetV2":
             net = InceptionResNetV2(self.embedding_size, self.dropout_rate,
-                                    self.dtype)
+                                    self.dtype, remat=self.remat)
         elif self.backbone == "InceptionV4":
             net = InceptionV4(self.embedding_size, self.dropout_rate,
-                              self.dtype)
+                              self.dtype, remat=self.remat)
         elif self.backbone == "RepVGG":
             net = get_repvgg_by_name("RepVGG-B2g4", self.embedding_size,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, remat=self.remat)
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
         x = net(x, train)

@@ -79,22 +79,33 @@ class UNet(nn.Module):
     filters_base: int = 64
     output_filters: int = 1
     dtype: Any = jnp.float32
+    remat: bool = False
+
+    def _stages(self):
+        """remat: block-level rematerialization — exact, same variable tree
+        (explicit names pin the direct autonames; see YoloV4.remat)."""
+        if self.remat:
+            return (nn.remat(DownSample, static_argnums=(2,)),
+                    nn.remat(UpSample, static_argnums=(3,)))
+        return DownSample, UpSample
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Down, Up = self._stages()
         skips = []
         for d in range(self.depth):
-            p, x = DownSample(self.filters_base * 2**d, self.dtype)(x, train)
+            p, x = Down(self.filters_base * 2**d, self.dtype,
+                        name=f"DownSample_{d}")(x, train)
             skips.append(p)
         skips = skips[::-1]
-        _, x = UpSample(self.filters_base * 2**self.depth, self.dtype)(
-            x, None, train
-        )
+        _, x = Up(self.filters_base * 2**self.depth, self.dtype,
+                  name="UpSample_0")(x, None, train)
         for i in range(self.depth):
             # decoder filter sizes run high→low (upsample_layers reversed,
             # unet/model.py:96-97)
             f = self.filters_base * 2 ** (self.depth - 1 - i)
-            p, x = UpSample(f, self.dtype)(x, skips[i], train)
+            p, x = Up(f, self.dtype, name=f"UpSample_{i + 1}")(
+                x, skips[i], train)
         out = nn.Conv(self.output_filters, (1, 1), padding="SAME",
                       dtype=self.dtype)(p)
         return nn.sigmoid(out)
@@ -105,17 +116,19 @@ class UNetLogits(UNet):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Down, Up = self._stages()
         skips = []
         for d in range(self.depth):
-            p, x = DownSample(self.filters_base * 2**d, self.dtype)(x, train)
+            p, x = Down(self.filters_base * 2**d, self.dtype,
+                        name=f"DownSample_{d}")(x, train)
             skips.append(p)
         skips = skips[::-1]
-        _, x = UpSample(self.filters_base * 2**self.depth, self.dtype)(
-            x, None, train
-        )
+        _, x = Up(self.filters_base * 2**self.depth, self.dtype,
+                  name="UpSample_0")(x, None, train)
         for i in range(self.depth):
             f = self.filters_base * 2 ** (self.depth - 1 - i)
-            p, x = UpSample(f, self.dtype)(x, skips[i], train)
+            p, x = Up(f, self.dtype, name=f"UpSample_{i + 1}")(
+                x, skips[i], train)
         return nn.Conv(self.output_filters, (1, 1), padding="SAME",
                        dtype=self.dtype)(p)
 
