@@ -26,9 +26,9 @@ sys.path.insert(0, ROOT)
 import numpy as np
 from PIL import Image
 
-N_IMAGES = 64
-SIZE = 64  # network input
-HW = 96    # image size on disk
+N_IMAGES = int(os.environ.get("TMV_CMAP_N", "64"))
+SIZE = int(os.environ.get("TMV_CMAP_SIZE", "64"))   # network input
+HW = int(os.environ.get("TMV_CMAP_HW", "96"))       # image size on disk
 
 # scale overrides so the artifact can be produced on a CPU-only box
 # (full scale on TPU: 40 epochs x 100 steps; a 1-CPU box runs the
@@ -47,12 +47,13 @@ def make_dataset(root, n=N_IMAGES, hw=HW):
         img = rng.integers(0, 60, (hw, hw, 3), dtype=np.uint8)
         entries = []
         placed = []
+        sc = hw / 96.0  # box scale follows the on-disk image size
         for _ in range(int(rng.integers(1, 4))):
             for _attempt in range(10):
-                x1 = int(rng.integers(4, hw - 40))
-                y1 = int(rng.integers(4, hw - 40))
-                w = int(rng.integers(20, 34))
-                h = int(rng.integers(20, 34))
+                x1 = int(rng.integers(4, hw - int(40 * sc)))
+                y1 = int(rng.integers(4, hw - int(40 * sc)))
+                w = int(rng.integers(int(20 * sc), int(34 * sc)))
+                h = int(rng.integers(int(20 * sc), int(34 * sc)))
                 if all(x1 + w < px or px + pw < x1 or y1 + h < py
                        or py + ph < y1 for px, py, pw, ph in placed):
                     break
@@ -71,8 +72,10 @@ def make_dataset(root, n=N_IMAGES, hw=HW):
     with open(os.path.join(root, "classes.txt"), "w") as f:
         f.write("red\ngreen\n")
     with open(os.path.join(root, "anchors.txt"), "w") as f:
-        f.write("6,6, 8,8, 10,10, 12,12, 16,16, 20,20, "
-                "24,24, 28,28, 32,32\n")
+        base = [6, 8, 10, 12, 16, 20, 24, 28, 32]
+        asc = SIZE / 64.0  # anchors follow the network input size
+        f.write(", ".join(f"{int(a * asc)},{int(a * asc)}"
+                          for a in base) + "\n")
 
 
 def run_cli(module, argv):
