@@ -11,3 +11,13 @@ from tmv_tpu.parallel.spatial import (  # noqa: F401
     SpatialDataParallel,
     spatial_spec,
 )
+from tmv_tpu.parallel.pipeline import (  # noqa: F401
+    PipelineParallel,
+    pipeline_apply,
+    stack_stage_params,
+)
+from tmv_tpu.parallel.tensor import (  # noqa: F401
+    TensorParallel,
+    tensor_shardings,
+    tensor_spec,
+)
