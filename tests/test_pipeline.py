@@ -160,3 +160,39 @@ class TestPipelineParallel:
         with pytest.raises(ValueError, match="not divisible"):
             pipeline_apply(dense_stage, stack_stage_params(trees), x,
                            mesh, n_microbatches=4)
+
+
+@pytest.mark.slow  # compiles the D0-tiny forward twice (direct + pipelined)
+class TestBiFPNPipeline:
+    def test_pipelined_forward_matches_direct(self):
+        """`make_efficientdet_bifpn_pipeline`: the repeated BiFPN cells as
+        GPipe stages must reproduce the direct model.apply exactly."""
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.parallel.pipeline import (
+            make_efficientdet_bifpn_pipeline,
+        )
+
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.fpn_cell_repeats = 5  # 4 uniform cells -> 4 pipeline stages
+        cfg.levels_size = [64]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+
+        model = EfficientDetNet(config=cfg)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (4, 64, 64, 3)).astype(np.float32))
+        variables = model.init(jax.random.key(0), x, train=False)
+        ref_boxes, ref_classes = jax.jit(
+            lambda v, im: model.apply(v, im, train=False))(variables, x)
+
+        forward, stacked, mesh = make_efficientdet_bifpn_pipeline(
+            model, variables, n_microbatches=2)
+        assert mesh.shape["pipe"] == 4
+        out_boxes, out_classes = jax.jit(forward)(variables, stacked, x)
+        for r, o in zip(list(ref_boxes) + list(ref_classes),
+                        list(out_boxes) + list(out_classes)):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5)

@@ -137,6 +137,99 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
     return _merge_microbatches(out)
 
 
+def make_efficientdet_bifpn_pipeline(model, variables, n_microbatches: int,
+                                     devices: Optional[Sequence] = None):
+    """Pipelined EfficientDet forward: the repeated BiFPN cells run as
+    GPipe stages, one cell per device.
+
+    The reference's deepest configuration repeats the BiFPN cell 8 times
+    (`utils/global_params.py:125-140`, fpn_cell_repeats for D7/D7x) —
+    cells 1..R-1 are *uniform* (same parameter structure: by cell 1 every
+    level already carries ``fpn_num_filters`` channels, so the entry
+    resamples of cell 0 vanish), which makes them natural pipeline
+    stages.  The backbone, cell 0, and the heads stay stage-local on
+    every device (replicated); the multi-level feature tuple flows
+    through the pipe as one pytree activation.
+
+    Returns ``(forward, stacked_cells, mesh)`` where
+    ``forward(variables, stacked_cells, images) -> (boxes, classes)``
+    is jittable and equals ``model.apply(variables, images,
+    train=False)`` exactly.  Requires ``fpn_cell_repeats - 1`` devices.
+    """
+    from tmv_tpu.models.efficientdet.backbone import BackboneModel
+    from tmv_tpu.models.efficientdet.bifpn import BiFPN, ResampleFeatureMap
+    from tmv_tpu.models.efficientdet.config import default_blocks_args
+    from tmv_tpu.models.efficientdet.heads import BoxNet, ClassNet
+
+    cfg = model.config
+    n_stages = cfg.fpn_cell_repeats - 1
+    if n_stages < 1:
+        raise ValueError("need fpn_cell_repeats >= 2 to pipeline")
+    mesh = create_mesh(n_stages, ("pipe",), devices=devices)
+    bn_m, bn_e = cfg.batch_norm_momentum, cfg.batch_norm_epsilon
+    levels_size = tuple(cfg.levels_size[cfg.min_level:cfg.max_level + 1])
+
+    def sub(name):
+        return {"params": variables["params"][name],
+                "batch_stats": variables["batch_stats"][name]}
+
+    cell = BiFPN(cfg.fpn_num_filters, levels_size,
+                 weight_method=cfg.get("fpn_weight_method", "fastattn"),
+                 bn_momentum=bn_m, bn_epsilon=bn_e, dtype=model.dtype)
+    stacked_cells = stack_stage_params(
+        [sub(f"fpn_cell_{i}") for i in range(1, cfg.fpn_cell_repeats)])
+    spec = jax.tree.map(lambda _: P("pipe"), stacked_cells)
+    stacked_cells = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        stacked_cells, spec)
+
+    def stage_fn(cell_vars, feats):
+        return cell.apply(cell_vars, feats, train=False)
+
+    backbone = BackboneModel(
+        blocks_args=tuple(default_blocks_args()),
+        width_coefficient=cfg.width_coefficient,
+        depth_coefficient=cfg.depth_coefficient,
+        depth_divisor=cfg.depth_divisor,
+        bn_momentum=bn_m, bn_epsilon=bn_e, dtype=model.dtype,
+    )
+    num_levels = cfg.max_level - cfg.min_level + 1
+    num_anchors = len(cfg.aspect_ratios) * cfg.num_scales
+    class_net = ClassNet(
+        num_classes=cfg.num_classes, num_anchors=num_anchors,
+        num_filters=cfg.fpn_num_filters, num_levels=num_levels,
+        repeats=cfg.box_class_repeats, survival_prob=cfg.survival_prob,
+        dtype=model.dtype)
+    box_net = BoxNet(
+        num_anchors=num_anchors, num_filters=cfg.fpn_num_filters,
+        num_levels=num_levels, repeats=cfg.box_class_repeats,
+        survival_prob=cfg.survival_prob, dtype=model.dtype)
+
+    def forward(variables, stacked_cells, images):
+        def sub_(name):
+            # parameterless submodules (e.g. a channel-matched resample)
+            # have no variables entry at all
+            return {"params": variables["params"].get(name, {}),
+                    "batch_stats": variables["batch_stats"].get(name, {})}
+
+        all_feats = backbone.apply(sub_("backbone"), images, train=False)
+        feats = list(all_feats[cfg.min_level:cfg.max_level + 1])
+        for level in range(6, cfg.max_level + 1):
+            rs = ResampleFeatureMap(cfg.fpn_num_filters,
+                                    cfg.levels_size[level],
+                                    bn_m, bn_e, model.dtype)
+            feats.append(rs.apply(sub_(f"resample_p{level}"), feats[-1],
+                                  train=False))
+        feats = cell.apply(sub_("fpn_cell_0"), tuple(feats), train=False)
+        feats = pipeline_apply(stage_fn, stacked_cells, tuple(feats),
+                               mesh, n_microbatches=n_microbatches)
+        classes = class_net.apply(sub_("class_net"), feats, train=False)
+        boxes = box_net.apply(sub_("box_net"), feats, train=False)
+        return boxes, classes
+
+    return forward, stacked_cells, mesh
+
+
 class PipelineParallel:
     """1-D ``pipe`` (or 2-D ``data x pipe``) mesh wrapper.
 
