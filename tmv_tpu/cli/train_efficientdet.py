@@ -41,6 +41,11 @@ def parse_args():
                    help="spatial partitioning: shard image height this "
                         "many ways on a 2-D (data x space) mesh (implies "
                         "parallel execution; see docs/PARALLELISM.md)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor parallelism: shard parameter/optimizer "
+                        "channels this many ways on a 2-D (data x model) "
+                        "mesh — 1/N param+optimizer memory per device "
+                        "(see docs/PARALLELISM.md)")
     # EarlyStopping on epoch train loss (efficientnet/train.py:138-139;
     # LR stays with the cosine schedule as in the reference)
     p.add_argument("--earlyStopPatience", type=int, default=10,
@@ -51,7 +56,11 @@ def parse_args():
                         "(jitted batch program, `data/device_aug.py`); the "
                         "host only decodes+letterboxes — use when the host "
                         "PIL staging cannot feed the chip")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.sp > 1 and args.tp > 1:
+        p.error("--sp and --tp cannot be combined on the CLI (use the "
+                "parallel/ API directly for 3-D meshes)")
+    return args
 
 
 def main():
@@ -121,6 +130,13 @@ def main():
         print(f"mesh {dp.mesh.devices.shape} (data x space)")
         first_batch = next(it)
         step_fn = dp.wrap_step(raw_step, first_batch)
+        state = dp.put_state(state)
+    elif args.tp > 1:
+        from tmv_tpu.parallel.tensor import TensorParallel
+
+        dp = TensorParallel(model=args.tp)
+        print(f"mesh {dp.mesh.devices.shape} (data x model)")
+        step_fn = dp.wrap_step(raw_step, state)
         state = dp.put_state(state)
     elif args.dp:
         from tmv_tpu.parallel.train import DataParallel
