@@ -43,6 +43,15 @@ def parse_args():
                         "augmentation (device-side; YOLOv4 README lists it "
                         "unimplemented in the reference — new capability)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all local devices")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: shard image height this "
+                        "many ways on a 2-D (data x space) mesh")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor parallelism: shard parameter/optimizer "
+                        "channels this many ways on a 2-D (data x model) "
+                        "mesh (see docs/PARALLELISM.md)")
     p.add_argument("--accumSteps", type=int, default=1,
                    help="gradient accumulation micro-steps (batchSize must "
                         "divide)")
@@ -59,7 +68,11 @@ def parse_args():
     p.add_argument("--reduceLrPatience", type=int, default=3,
                    help="flat epochs before LR *= factor (0 disables)")
     p.add_argument("--minLr", type=float, default=1e-6)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.sp > 1 and args.tp > 1:
+        p.error("--sp and --tp cannot be combined on the CLI (use the "
+                "parallel/ API directly for 3-D meshes)")
+    return args
 
 
 def main():
@@ -114,8 +127,34 @@ def main():
         print(f"resumed from step {start_step}")
 
     loss_fn = make_yolo_loss_fn(model, image_wh, anchors, iou_type=iou_type)
-    step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True,
-                                      accum_steps=args.accumSteps))
+    raw_step = make_train_step(loss_fn, tx, shadow_loss=True,
+                               accum_steps=args.accumSteps)
+    dp = None
+    first_batch = None
+    if args.sp > 1:
+        from tmv_tpu.parallel.spatial import SpatialDataParallel
+
+        dp = SpatialDataParallel(space=args.sp)
+        print(f"mesh {dp.mesh.devices.shape} (data x space)")
+        first_batch = next(iter(pipeline))
+        step_fn = dp.wrap_step(raw_step, first_batch)
+        state = dp.put_state(state)
+    elif args.tp > 1:
+        from tmv_tpu.parallel.tensor import TensorParallel
+
+        dp = TensorParallel(model=args.tp)
+        print(f"mesh {dp.mesh.devices.shape} (data x model)")
+        step_fn = dp.wrap_step(raw_step, state)
+        state = dp.put_state(state)
+    elif args.dp:
+        from tmv_tpu.parallel.train import DataParallel
+
+        dp = DataParallel()
+        print(f"data-parallel over {dp.num_devices} devices")
+        step_fn = dp.wrap_step(raw_step)
+        state = dp.put_state(state)
+    else:
+        step_fn = jax.jit(raw_step)
 
     # two-phase warm start: train only output convs first
     # (FreeLayer parity, yolo_v3/train.py:79-87)
@@ -155,7 +194,13 @@ def main():
     total_steps = args.stepsPerEpoch * args.epochs
     epoch_losses = []
     for step_i in range(start_step, total_steps):
-        state, metrics = step_fn(state, next(it), jax.random.key(step_i))
+        if first_batch is not None:
+            batch, first_batch = first_batch, None
+        else:
+            batch = next(it)
+        if dp is not None:
+            batch = dp.put_batch(batch)
+        state, metrics = step_fn(state, batch, jax.random.key(step_i))
         metrics.update(timer.tick())
         logger.log(step_i, metrics)
         epoch_losses.append(float(metrics["loss"]))
