@@ -390,3 +390,125 @@ class TestTensorParallel:
         s2, _ = tp_step(placed, tp.put_batch(batch),
                         tp.put_rng(jax.random.key(0)))
         assert sharded_leaves(s2.params) and all(sharded_leaves(s2.params))
+
+
+class TestFSDP:
+    """ZeRO-3 storage sharding over the data axis (`parallel/fsdp.py`).
+
+    Computation is plain data parallelism — results must match the
+    single-device step bit-for-bit modulo reduction order — while every
+    large param/optimizer leaf must *live* split 1/data across devices
+    (that per-device memory saving is the point of the mode)."""
+
+    @pytest.fixture(scope="class")
+    def fsdp_setup(self):
+        # filters_base=8 so channel dims divide the 8-device data axis
+        model = UNetLogits(depth=1, filters_base=8, output_filters=1)
+        x = jnp.zeros((8, 16, 16, 3))
+        variables = model.init(jax.random.key(0), x, train=False)
+        tx = optax.adam(1e-3)  # two moment trees — the HBM hog FSDP shards
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        step = make_train_step(make_unet_loss_fn(model), tx)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(
+                rng.uniform(size=(8, 16, 16, 3)).astype(np.float32)),
+            "target": jnp.asarray((rng.uniform(size=(8, 16, 16, 1)) > 0.8)
+                                  .astype(np.float32)),
+        }
+        return model, state, step, batch
+
+    def test_fsdp_spec_shape_rules(self):
+        from tmv_tpu.parallel.fsdp import fsdp_spec
+
+        # largest divisible dim, ties toward the last (output channels)
+        assert fsdp_spec((3, 3, 16, 32), 8, min_size=1) == P(
+            None, None, None, "data")
+        assert fsdp_spec((3, 3, 32, 32), 8, min_size=1) == P(
+            None, None, None, "data")
+        assert fsdp_spec((3, 3, 64, 32), 8, min_size=1) == P(
+            None, None, "data", None)
+        assert fsdp_spec((64,), 8, min_size=1) == P("data")
+        assert fsdp_spec((), 8) == P()            # step counter
+        assert fsdp_spec((3, 3, 3, 6), 8, min_size=1) == P()  # nothing divides
+        assert fsdp_spec((16, 16), 8, min_size=1024) == P()   # under min_size
+
+    def test_train_step_matches_single_device(self, fsdp_setup):
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
+
+        # SGD for the numeric check: Adam's g/sqrt(nu) rescale amplifies
+        # reduction-order noise on near-zero gradient elements to
+        # O(lr·sign-flips) — measured 1.3e-3 on this toy — while SGD stays
+        # bitwise-close (6e-8).  Adam's *storage* sharding is pinned by
+        # test_state_storage_actually_sharded below.
+        model, _, _, batch = fsdp_setup
+        variables = model.init(jax.random.key(0), batch["image"],
+                               train=False)
+        tx = optax.sgd(0.1)
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        step = make_train_step(make_unet_loss_fn(model), tx)
+        s1, m1 = jax.jit(step)(state, batch, jax.random.key(0))
+
+        fsdp = FullyShardedDataParallel(min_size=8)
+        fs_step = fsdp.wrap_step(step, state)
+        s2, m2 = fs_step(fsdp.put_state(state), fsdp.put_batch(batch),
+                         fsdp.put_rng(jax.random.key(0)))
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_state_storage_actually_sharded(self, fsdp_setup):
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel, fsdp_spec
+
+        model, state, step, batch = fsdp_setup
+        fsdp = FullyShardedDataParallel(min_size=8)
+        placed = fsdp.put_state(state)
+
+        def check(tree):
+            hits = []
+            for leaf in jax.tree_util.tree_leaves(tree):
+                spec = fsdp_spec(leaf.shape, 8, min_size=8)
+                if spec == P():
+                    continue
+                axis = list(spec).index("data")
+                shard = leaf.sharding.shard_shape(leaf.shape)
+                hits.append(shard[axis] == leaf.shape[axis] // 8)
+            return hits
+
+        kernels = check(placed.params)
+        assert kernels and all(kernels)
+        # Adam's mu/nu mirror the param shapes — they must shard too
+        moments = check(placed.opt_state)
+        assert moments and all(moments)
+        # shardings survive an update step (no silent re-replication)
+        fs_step = fsdp.wrap_step(step, state)
+        s2, _ = fs_step(placed, fsdp.put_batch(batch),
+                        fsdp.put_rng(jax.random.key(0)))
+        assert check(s2.params) and all(check(s2.params))
+        assert check(s2.opt_state) and all(check(s2.opt_state))
+
+    def test_forward_matches_single_device(self, fsdp_setup):
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
+
+        model, state, step, batch = fsdp_setup
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def fwd(v, x):
+            return model.apply(v, x, train=False)
+
+        ref = jax.jit(fwd)(variables, batch["image"])
+        fsdp = FullyShardedDataParallel(min_size=8)
+        sharded_fwd = fsdp.wrap_forward(fwd, variables)
+        out = sharded_fwd(
+            jax.tree.map(jax.device_put, variables,
+                         fsdp.state_shardings(variables)),
+            fsdp.put_batch(batch)["image"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

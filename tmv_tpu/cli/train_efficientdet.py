@@ -46,6 +46,11 @@ def parse_args():
                         "channels this many ways on a 2-D (data x model) "
                         "mesh — 1/N param+optimizer memory per device "
                         "(see docs/PARALLELISM.md)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism (ZeRO-3): data-"
+                        "parallel compute with parameter/optimizer storage "
+                        "split 1/N across devices — per-device state memory "
+                        "1/N at the cost of per-layer weight all-gathers")
     # EarlyStopping on epoch train loss (efficientnet/train.py:138-139;
     # LR stays with the cosine schedule as in the reference)
     p.add_argument("--earlyStopPatience", type=int, default=10,
@@ -60,6 +65,9 @@ def parse_args():
     if args.sp > 1 and args.tp > 1:
         p.error("--sp and --tp cannot be combined on the CLI (use the "
                 "parallel/ API directly for 3-D meshes)")
+    if args.fsdp and (args.sp > 1 or args.tp > 1):
+        p.error("--fsdp shards state over the data axis; it cannot be "
+                "combined with --sp/--tp on the CLI")
     return args
 
 
@@ -136,6 +144,13 @@ def main():
 
         dp = TensorParallel(model=args.tp)
         print(f"mesh {dp.mesh.devices.shape} (data x model)")
+        step_fn = dp.wrap_step(raw_step, state)
+        state = dp.put_state(state)
+    elif args.fsdp:
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
+
+        dp = FullyShardedDataParallel()
+        print(f"fsdp (ZeRO-3) over {dp.num_devices} devices")
         step_fn = dp.wrap_step(raw_step, state)
         state = dp.put_state(state)
     elif args.dp:

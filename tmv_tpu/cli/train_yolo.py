@@ -52,6 +52,11 @@ def parse_args():
                    help="tensor parallelism: shard parameter/optimizer "
                         "channels this many ways on a 2-D (data x model) "
                         "mesh (see docs/PARALLELISM.md)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism (ZeRO-3): data-"
+                        "parallel compute with parameter/optimizer storage "
+                        "split 1/N across devices — per-device state memory "
+                        "1/N at the cost of per-layer weight all-gathers")
     p.add_argument("--accumSteps", type=int, default=1,
                    help="gradient accumulation micro-steps (batchSize must "
                         "divide)")
@@ -72,6 +77,9 @@ def parse_args():
     if args.sp > 1 and args.tp > 1:
         p.error("--sp and --tp cannot be combined on the CLI (use the "
                 "parallel/ API directly for 3-D meshes)")
+    if args.fsdp and (args.sp > 1 or args.tp > 1):
+        p.error("--fsdp shards state over the data axis; it cannot be "
+                "combined with --sp/--tp on the CLI")
     return args
 
 
@@ -144,6 +152,13 @@ def main():
 
         dp = TensorParallel(model=args.tp)
         print(f"mesh {dp.mesh.devices.shape} (data x model)")
+        step_fn = dp.wrap_step(raw_step, state)
+        state = dp.put_state(state)
+    elif args.fsdp:
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
+
+        dp = FullyShardedDataParallel()
+        print(f"fsdp (ZeRO-3) over {dp.num_devices} devices")
         step_fn = dp.wrap_step(raw_step, state)
         state = dp.put_state(state)
     elif args.dp:

@@ -21,3 +21,8 @@ from tmv_tpu.parallel.tensor import (  # noqa: F401
     tensor_shardings,
     tensor_spec,
 )
+from tmv_tpu.parallel.fsdp import (  # noqa: F401
+    FullyShardedDataParallel,
+    fsdp_shardings,
+    fsdp_spec,
+)
