@@ -493,6 +493,37 @@ class TestFSDP:
         assert check(s2.params) and all(check(s2.params))
         assert check(s2.opt_state) and all(check(s2.opt_state))
 
+    def test_checkpoint_roundtrip_of_sharded_state(self, fsdp_setup,
+                                                   tmp_path):
+        """orbax must save ZeRO-3-sharded state and restore it into a
+        fresh single-device template (the resume flow every train CLI
+        uses: restore unsharded, then put_state reshards)."""
+        from tmv_tpu.core.checkpoint import CheckpointManager
+        from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
+
+        model, state, step, batch = fsdp_setup
+        fsdp = FullyShardedDataParallel(min_size=8)
+        fs_step = fsdp.wrap_step(step, state)
+        s1, _ = fs_step(fsdp.put_state(state), fsdp.put_batch(batch),
+                        fsdp.put_rng(jax.random.key(0)))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(s1.step), s1)
+
+        restored = mgr.restore(state)  # fresh unsharded template
+        assert int(restored.step) == int(s1.step)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resumed state re-shards and keeps training
+        s2, m2 = fs_step(fsdp.put_state(restored), fsdp.put_batch(batch),
+                         fsdp.put_rng(jax.random.key(1)))
+        assert np.isfinite(float(m2["loss"]))
+        mgr.close()
+
     def test_forward_matches_single_device(self, fsdp_setup):
         from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
 
