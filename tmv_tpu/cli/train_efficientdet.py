@@ -61,7 +61,15 @@ def parse_args():
                         "(jitted batch program, `data/device_aug.py`); the "
                         "host only decodes+letterboxes — use when the host "
                         "PIL staging cannot feed the chip")
+    p.add_argument("--cacheDir", default=None,
+                   help="epoch-persistent staging cache directory "
+                        "(`data/stage_cache.py`; requires --deviceAug): "
+                        "decode+letterbox once, serve later epochs from a "
+                        "uint8 memmap")
     args = p.parse_args()
+    if args.cacheDir and not args.deviceAug:
+        p.error("--cacheDir requires --deviceAug (only the fixed staging "
+                "frame is deterministic and cacheable)")
     if args.sp > 1 and args.tp > 1:
         p.error("--sp and --tp cannot be combined on the CLI (use the "
                 "parallel/ API directly for 3-D meshes)")
@@ -108,7 +116,7 @@ def main():
         args.trainImagePath, args.trainData, args.classesFile,
         args.batchSize, anchors, cfg.num_classes,
         image_size=cfg.image_size, max_boxes=args.maxBoxes,
-        device_aug=args.deviceAug,
+        device_aug=args.deviceAug, cache_dir=args.cacheDir,
     )
 
     x0 = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

@@ -42,6 +42,10 @@ def parse_args():
                    help="per-image probability of 4-image mosaic "
                         "augmentation (device-side; YOLOv4 README lists it "
                         "unimplemented in the reference — new capability)")
+    p.add_argument("--cacheDir", default=None,
+                   help="epoch-persistent staging cache directory "
+                        "(`data/stage_cache.py`): decode+letterbox once, "
+                        "serve later epochs from a uint8 memmap")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all local devices")
@@ -106,6 +110,7 @@ def main():
     pipeline = YoloDataPipeline(
         args.trainImagePath, args.trainData, args.classesFile,
         args.batchSize, anchors, image_wh=image_wh, mosaic=args.mosaic,
+        cache_dir=args.cacheDir,
     )
     model_cls = YoloV4 if args.version == "v4" else YoloV3
     iou_type = "ciou" if args.version == "v4" else "iou"

@@ -32,7 +32,8 @@ class EfficientDetPipeline:
                  image_size: int = 512, max_boxes: int = 100,
                  augment: bool = True, label_mean: bool = True,
                  seed: int = 0, with_raw_boxes: bool = False,
-                 device_aug: bool = False, prefetch: int = 2):
+                 device_aug: bool = False, prefetch: int = 2,
+                 cache_dir: str = None):
         self.classes, names_num = load_classes(classes_path)
         self.labels, self.labels_num = load_labels(
             label_path, image_path, self.classes)
@@ -49,6 +50,21 @@ class EfficientDetPipeline:
         self._rng = random.Random(seed)
         self._np_rng = np.random.default_rng(seed)
         self.key = jax.random.key(seed)
+        self.cache = None
+        if cache_dir:
+            if not self.device_aug:
+                raise ValueError(
+                    "cache_dir requires device_aug=True: only the fixed "
+                    "staging frame is deterministic — the host-aug path "
+                    "re-randomizes per epoch and is not cacheable")
+            from tmv_tpu.data.stage_cache import StageCache, assign_rows
+            from tmv_tpu.native import available as native_available
+
+            assign_rows(self.labels)
+            backend = "native" if native_available() else "pil"
+            self.cache = StageCache(
+                cache_dir, self.labels, (image_size, image_size),
+                max_boxes, tag=f"efficientdet-stage-{backend}")
 
         def targets_fn(boxes, classes, valid):
             return jax.vmap(
@@ -125,6 +141,13 @@ class EfficientDetPipeline:
         return img.astype(np.float32) / 255.0, boxes, classes
 
     def _stage_fixed(self, label: Dict):
+        """Host staging for the ``device_aug`` path, served through the
+        epoch-persistent memmap cache when ``cache_dir`` was given."""
+        if self.cache is not None:
+            return self.cache.wrap(label, self._stage_fixed_uncached)
+        return self._stage_fixed_uncached(label)
+
+    def _stage_fixed_uncached(self, label: Dict):
         """Host staging for the ``device_aug`` path: decode + letterbox to
         the fixed network frame ONLY (native C++ decoder when built —
         `native/preproc.cc`), uint8 out; all augmentation runs on-device

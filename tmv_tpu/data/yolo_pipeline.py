@@ -116,6 +116,7 @@ class YoloDataPipeline:
         max_boxes: int = 100,
         seed: int = 0,
         prefetch: int = 2,
+        cache_dir: str = None,
     ):
         self.classes, self.classes_num = load_classes(classes_path)
         self.labels, self.labels_num = load_labels(
@@ -132,6 +133,16 @@ class YoloDataPipeline:
         self.key = jax.random.key(seed)
         self.prefetch = prefetch
         self._pool = None
+        self.cache = None
+        if cache_dir:
+            from tmv_tpu.data.stage_cache import StageCache, assign_rows
+            from tmv_tpu.native import available as native_available
+
+            assign_rows(self.labels)
+            backend = "native" if native_available() else "pil"
+            self.cache = StageCache(
+                cache_dir, self.labels, (image_wh[1], image_wh[0]),
+                max_boxes, tag=f"yolo-stage-{backend}")
         self._build_device_fns()
 
     def _build_device_fns(self):
@@ -171,6 +182,15 @@ class YoloDataPipeline:
         self._batch_fn = jax.jit(batch_fn)
 
     def _stage_one(self, label: Dict):
+        """Host: decode + resize to the staging resolution, through the
+        epoch-persistent memmap cache when ``cache_dir`` was given
+        (`data/stage_cache.py` — staging is deterministic; all
+        augmentation randomness runs on device downstream)."""
+        if self.cache is not None:
+            return self.cache.wrap(label, self._stage_one_uncached)
+        return self._stage_one_uncached(label)
+
+    def _stage_one_uncached(self, label: Dict):
         """Host: decode + resize to the staging resolution.
 
         Uses the native C++ decoder (`native/preproc.cc`) when built —

@@ -213,7 +213,20 @@ def bench_train_yolo(img_dir, labels, classes, size=608):
     fixed = next(it)
     synth_ips = _measure_train(step, state, itertools.repeat(fixed))
     fed_ips = _measure_train(step, state, it)
-    return synth_ips, fed_ips
+
+    # epoch-persistent staging cache: prefill (epoch 1), then measure the
+    # steady-state epochs the cache actually serves
+    pipe_c = YoloDataPipeline(
+        img_dir, labels, classes, batch_size=BATCH, anchors=anchors,
+        image_wh=(size, size), image_random=True, mosaic=1.0,
+        label_mean=False, prefetch=2,
+        cache_dir=os.path.join(os.path.dirname(img_dir),
+                               "train_cache_yolo"),
+    )
+    for lb in pipe_c.labels:
+        pipe_c._stage_one(lb)
+    cached_fed_ips = _measure_train(step, state, iter(pipe_c))
+    return synth_ips, fed_ips, cached_fed_ips
 
 
 def bench_train_d0(img_dir, labels, classes, size=512):
@@ -259,7 +272,17 @@ def bench_train_d0(img_dir, labels, classes, size=512):
     synth_ips = _measure_train(step, state, itertools.repeat(fixed))
     fed_ips = _measure_train(step, state, it)
     devaug_fed_ips = _measure_train(step, state, iter(pipe_dev))
-    return synth_ips, fed_ips, devaug_fed_ips
+
+    pipe_cached = EfficientDetPipeline(
+        img_dir, labels, classes, batch_size=BATCH, anchors=anchors,
+        num_classes=cfg.num_classes, image_size=size, augment=True,
+        label_mean=False, device_aug=True,
+        cache_dir=os.path.join(os.path.dirname(img_dir),
+                               "train_cache_ed"))
+    for lb in pipe_cached.labels:
+        pipe_cached._stage_fixed(lb)
+    cached_fed_ips = _measure_train(step, state, iter(pipe_cached))
+    return synth_ips, fed_ips, devaug_fed_ips, cached_fed_ips
 
 
 def bench_stage_devaug(img_dir, labels, classes, size=512):
@@ -332,11 +355,42 @@ def main():
 
         e_stage = _measure_stage(ed_stage, iter(ed.sampler), BATCH)
         e_dev_stage = bench_stage_devaug(img_dir, labels, classes)
+
+        # epoch-persistent staging cache (`data/stage_cache.py`): fill it
+        # once (epoch 1), then measure pure memmap reads (epoch 2+)
+        cache_root = os.path.join(root, "stage_cache_yolo")
+        pipe_c = YoloDataPipeline(
+            img_dir, labels, classes, batch_size=BATCH, anchors=anchors,
+            image_wh=(608, 608), image_random=True, label_mean=False,
+            prefetch=0, cache_dir=cache_root,
+        )
+        pipe_c._pool = ThreadPoolExecutor(min(8, BATCH))
+        for lb in pipe_c.labels:  # fill every row once
+            pipe_c._stage_one(lb)
+        y_cached = _measure_stage(pipe_c._stage_batch,
+                                  iter(pipe_c.sampler), BATCH)
+
+        ed_c = EfficientDetPipeline(
+            img_dir, labels, classes, batch_size=BATCH, anchors=ed_anchors,
+            num_classes=3, image_size=512, augment=True, label_mean=False,
+            device_aug=True,
+            cache_dir=os.path.join(root, "stage_cache_ed"))
+        for lb in ed_c.labels:
+            ed_c._stage_fixed(lb)
+        ed_pool = ThreadPoolExecutor(min(8, BATCH))
+
+        def ed_cached_stage(lbs):
+            return list(ed_pool.map(ed_c._stage_fixed, lbs))
+
+        e_cached = _measure_stage(ed_cached_stage, iter(ed_c.sampler),
+                                  BATCH)
         results = {
             "pipeline_yolo608_stage_ips": round(y_stage, 2),
+            "pipeline_yolo608_cached_stage_ips": round(y_cached, 2),
             "pipeline_efficientdet512_stage_ips": round(e_stage, 2),
             "pipeline_efficientdet512_devaug_stage_ips":
                 round(e_dev_stage, 2),
+            "pipeline_efficientdet512_cached_stage_ips": round(e_cached, 2),
             "pipeline_bench_host_cpus": os.cpu_count(),
         }
         print(json.dumps(results))
@@ -354,8 +408,10 @@ def main():
     y_stage, y_iter = bench_yolo(img_dir, labels, classes)
     e_stage, e_iter, e_dev_iter = bench_efficientdet(img_dir, labels,
                                                      classes)
-    y_synth, y_fed = bench_train_yolo(img_dir, labels, classes)
-    e_synth, e_fed, e_dev_fed = bench_train_d0(img_dir, labels, classes)
+    y_synth, y_fed, y_cached_fed = bench_train_yolo(img_dir, labels,
+                                                    classes)
+    e_synth, e_fed, e_dev_fed, e_cached_fed = bench_train_d0(
+        img_dir, labels, classes)
     results = {
         "pipeline_yolo608_stage_ips": round(y_stage, 2),
         "pipeline_yolo608_iter_ips": round(y_iter, 2),
@@ -364,9 +420,11 @@ def main():
         "pipeline_efficientdet512_devaug_iter_ips": round(e_dev_iter, 2),
         "pipeline_synth_yolov4_608_train_ips": round(y_synth, 2),
         "pipeline_fed_yolov4_608_train_ips": round(y_fed, 2),
+        "pipeline_cached_fed_yolov4_608_train_ips": round(y_cached_fed, 2),
         "pipeline_synth_d0_512_train_ips": round(e_synth, 2),
         "pipeline_fed_d0_512_train_ips": round(e_fed, 2),
         "pipeline_fed_d0_512_devaug_train_ips": round(e_dev_fed, 2),
+        "pipeline_cached_fed_d0_512_train_ips": round(e_cached_fed, 2),
         "pipeline_bench_platform": jax.default_backend(),
         "pipeline_bench_host_cpus": os.cpu_count(),
     }
