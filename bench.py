@@ -232,11 +232,15 @@ def main():
         "pipeline_efficientdet512_stage_ips",
         "pipeline_efficientdet512_iter_ips",
         "pipeline_efficientdet512_devaug_iter_ips",
+        "pipeline_yolo608_cached_stage_ips",
+        "pipeline_efficientdet512_cached_stage_ips",
         "pipeline_synth_yolov4_608_train_ips",
         "pipeline_fed_yolov4_608_train_ips",
+        "pipeline_cached_fed_yolov4_608_train_ips",
         "pipeline_synth_d0_512_train_ips",
         "pipeline_fed_d0_512_train_ips",
         "pipeline_fed_d0_512_devaug_train_ips",
+        "pipeline_cached_fed_d0_512_train_ips",
         "static_int8_bench_yolov4_640_int8_static_speedup",
         "static_int8_bench_yolov4_416_int8_static_speedup",
         "static_int8_bench_d0_512_int8_static_speedup",

@@ -391,6 +391,31 @@ class TestTensorParallel:
                         tp.put_rng(jax.random.key(0)))
         assert sharded_leaves(s2.params) and all(sharded_leaves(s2.params))
 
+    def test_checkpoint_roundtrip_of_sharded_state(self, setup, tmp_path):
+        """Same resume contract as FSDP: orbax saves channel-sharded
+        state; restore into an unsharded template, put_state re-shards,
+        training continues."""
+        from tmv_tpu.core.checkpoint import CheckpointManager
+        from tmv_tpu.parallel.tensor import TensorParallel
+
+        model, state, step, batch = setup
+        tp = TensorParallel(data=4, model=2, min_channels=2)
+        tp_step = tp.wrap_step(step, state)
+        s1, _ = tp_step(tp.put_state(state), tp.put_batch(batch),
+                        tp.put_rng(jax.random.key(0)))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(int(s1.step), s1)
+        restored = mgr.restore(state)
+        assert int(restored.step) == int(s1.step)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        s2, m2 = tp_step(tp.put_state(restored), tp.put_batch(batch),
+                         tp.put_rng(jax.random.key(1)))
+        assert np.isfinite(float(m2["loss"]))
+        mgr.close()
+
 
 class TestFSDP:
     """ZeRO-3 storage sharding over the data axis (`parallel/fsdp.py`).
