@@ -60,6 +60,24 @@ class TestUnetTraining:
         assert int(restored.step) == int(state.step)
         mgr.close()
 
+    def test_async_save_overlaps_and_drains(self, setup, tmp_path):
+        """Per-epoch saves run async (wait=False) so serialization
+        overlaps the next epoch; the final force-save (or a dedup'd one)
+        must drain every pending write before the process exits."""
+        model, state, step, batch = setup
+        mgr = CheckpointManager(str(tmp_path / "ckpt_async"))
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.key(i))
+            mgr.save(int(state.step), state, wait=False)
+        # final save of the SAME step dedups but still drains the queue
+        mgr.save(int(state.step), state, force=True)
+        assert mgr.latest_step() == int(state.step)
+        restored = mgr.restore(jax.tree.map(np.zeros_like, state))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
     def test_restore_weights_across_optimizers(self, setup, tmp_path):
         """Inference CLIs restore with a dummy SGD template against
         whatever optimizer the trainer used — restore_weights must graft

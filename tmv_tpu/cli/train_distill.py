@@ -150,7 +150,7 @@ def main():
         if i % 100 == 0:
             print(f"step {i} loss {float(metrics['loss']):.4f}")
         if (i + 1) % 1000 == 0:
-            mgr.save(int(student.step), student)
+            mgr.save(int(student.step), student, wait=False)
     mgr.save(int(student.step), student, force=True)
 
 

@@ -193,7 +193,7 @@ def main():
         logger.log(i, metrics)
         epoch_losses.append(float(metrics["loss"]))
         if (i + 1) % args.stepsPerEpoch == 0:
-            mgr.save(int(state.step), state)
+            mgr.save(int(state.step), state, wait=False)
             epoch_loss = float(np.mean(epoch_losses))
             epoch_losses = []
             if early is not None and early.update(epoch_loss):

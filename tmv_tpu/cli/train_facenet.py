@@ -139,7 +139,7 @@ def main():
             print(f"epoch {epoch} outer {outer} "
                   f"loss {float(metrics['loss']):.4f} "
                   f"triplets {len(triplets)}")
-        mgr.save(int(state.step), state)
+        mgr.save(int(state.step), state, wait=False)
         if args.lfwDir and args.lfwPairs:
             pairs = lfw.read_pairs(args.lfwPairs)
             paths, issame = lfw.get_paths(args.lfwDir, pairs)

@@ -147,7 +147,7 @@ def main():
             if i % 50 == 0:
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
             if (i + 1) % 1000 == 0:
-                mgr.save(int(state.step), state)
+                mgr.save(int(state.step), state, wait=False)
         mgr.save(int(state.step), state, force=True)
         return
 
@@ -170,7 +170,7 @@ def main():
         if i % 50 == 0:
             print(f"step {i} loss {float(metrics['loss']):.4f}")
         if (i + 1) % 1000 == 0:
-            mgr.save(int(state.step), state)
+            mgr.save(int(state.step), state, wait=False)
     mgr.save(int(state.step), state, force=True)
 
 

@@ -92,7 +92,7 @@ def main():
         logger.log(i, metrics)
         window_losses.append(float(metrics["loss"]))
         if (i + 1) % args.dumpEvery == 0:
-            mgr.save(int(state.step), state)
+            mgr.save(int(state.step), state, wait=False)
             window_loss = float(np.mean(window_losses))
             window_losses = []
             if plateau is not None:

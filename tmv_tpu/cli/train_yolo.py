@@ -225,7 +225,7 @@ def main():
         logger.log(step_i, metrics)
         epoch_losses.append(float(metrics["loss"]))
         if (step_i + 1) % args.stepsPerEpoch == 0:
-            mgr.save(int(state.step), state)
+            mgr.save(int(state.step), state, wait=False)
             epoch_loss = float(np.mean(epoch_losses))
             epoch_losses = []
             if plateau is not None:

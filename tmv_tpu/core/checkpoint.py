@@ -26,15 +26,30 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        self._last_saved_step: Optional[int] = None
 
-    def save(self, step: int, state: Any, force: bool = False):
-        if step in (self._mgr.all_steps() or ()):
-            # already saved (e.g. final force-save right after the per-epoch
-            # save when early stopping broke the loop) — nothing to do
-            return
-        self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
-        )
+    def save(self, step: int, state: Any, force: bool = False,
+             wait: bool = True):
+        """Save ``state`` at ``step``.
+
+        ``wait=False`` makes the save asynchronous (orbax copies arrays to
+        host synchronously, the disk write proceeds in the background) so
+        per-epoch saves overlap the next epoch's training instead of
+        stalling the step loop; orbax serializes overlapping saves
+        internally, and ``wait_until_finished``/``close`` drain the queue.
+        """
+        if not (step == self._last_saved_step
+                or step in (self._mgr.all_steps() or ())):
+            self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=force
+            )
+            self._last_saved_step = step
+        # dedup (e.g. final force-save right after the per-epoch save when
+        # early stopping broke the loop) still drains pending async saves
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self):
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
