@@ -120,6 +120,34 @@ class TestYoloPipelineCache:
                                               np.asarray(tc))
 
 
+class TestPrefetchToDevice:
+    def test_prefetched_batches_equal_synchronous(self, dataset):
+        """The producer thread now runs H2D + the jitted aug/targets
+        dispatch (prefetch-to-device); with a single producer the RNG-key
+        sequence — and so every batch — must equal the prefetch=0 path."""
+        anchors = np.asarray(
+            [[[6, 6], [8, 8], [10, 10]],
+             [[12, 12], [16, 16], [20, 20]],
+             [[24, 24], [28, 28], [32, 32]]], np.float32)
+        kwargs = dict(
+            image_path=str(dataset / "imgs"),
+            label_path=str(dataset / "labels.txt"),
+            classes_path=str(dataset / "classes.txt"),
+            batch_size=2, anchors=anchors, image_wh=(64, 64),
+            label_mean=False, seed=11,
+        )
+        sync = YoloDataPipeline(prefetch=0, **kwargs)
+        pre = YoloDataPipeline(prefetch=2, **kwargs)
+        it_s, it_p = iter(sync), iter(pre)
+        for _ in range(3):
+            a, b = next(it_s), next(it_p)
+            np.testing.assert_array_equal(np.asarray(a["image"]),
+                                          np.asarray(b["image"]))
+            for ta, tb in zip(a["targets"], b["targets"]):
+                np.testing.assert_array_equal(np.asarray(ta),
+                                              np.asarray(tb))
+
+
 class TestEfficientDetPipelineCache:
     def test_device_aug_batches_identical(self, dataset, tmp_path):
         from tmv_tpu.data.efficientdet_pipeline import EfficientDetPipeline

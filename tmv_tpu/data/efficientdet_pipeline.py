@@ -179,10 +179,13 @@ class EfficientDetPipeline:
         return img_u8, b, c, v
 
     def _prefetched(self, produce_batch):
-        """Run host staging on a producer thread with a bounded queue so
-        it overlaps the consumer's device calls (mirrors
-        `yolo_pipeline.__iter__`'s producer).  ``prefetch=0`` stays
-        synchronous."""
+        """Run the whole batch build — host staging AND the device
+        dispatch (H2D + jitted aug/targets program) — on a producer
+        thread with a bounded queue, so per-batch input work (including
+        the dispatch RPC on remote-attached TPUs) overlaps the consumer's
+        train step (prefetch-to-device, mirrors `yolo_pipeline.__iter__`).
+        ``prefetch=0`` stays synchronous; single producer thread keeps
+        the RNG/batch sequence identical either way."""
         if self.prefetch <= 0:
             while True:
                 yield produce_batch()
@@ -218,15 +221,16 @@ class EfficientDetPipeline:
                 staged = [self._stage_fixed(lb) for lb in labels]
             else:
                 staged = list(pool.map(self._stage_fixed, labels))
-            return tuple(np.stack(z) for z in zip(*staged))
-
-        for imgs, boxes, classes, valid in self._prefetched(produce_batch):
+            imgs, boxes, classes, valid = (
+                np.stack(z) for z in zip(*staged))
             self.key, sub = jax.random.split(self.key)
             images01, boxes_t, classes_t, masks_t = self._aug_targets_fn(
                 jnp.asarray(imgs), jnp.asarray(boxes),
                 jnp.asarray(classes), jnp.asarray(valid), sub)
-            yield {"image": images01, "boxes": boxes_t,
-                   "classes": classes_t, "masks": masks_t}
+            return {"image": images01, "boxes": boxes_t,
+                    "classes": classes_t, "masks": masks_t}
+
+        yield from self._prefetched(produce_batch)
 
     def __iter__(self) -> Iterator[Dict]:
         if self.device_aug:
@@ -244,11 +248,10 @@ class EfficientDetPipeline:
             items = [(next(it), self._rng.getrandbits(32))
                      for _ in range(self.batch_size)]
             if pool is None:
-                return [self._get_random_data(lb, sd) for lb, sd in items]
-            return list(pool.map(
-                lambda a: self._get_random_data(*a), items))
-
-        for staged in self._prefetched(produce_batch):
+                staged = [self._get_random_data(lb, sd) for lb, sd in items]
+            else:
+                staged = list(pool.map(
+                    lambda a: self._get_random_data(*a), items))
             imgs, boxes_l, classes_l, valid_l, raw = [], [], [], [], []
             for img, boxes, classes in staged:
                 b, c, v = pad_labels(boxes, classes.tolist(), self.max_boxes)
@@ -271,4 +274,6 @@ class EfficientDetPipeline:
             }
             if self.with_raw_boxes:
                 batch["raw"] = raw
-            yield batch
+            return batch
+
+        yield from self._prefetched(produce_batch)

@@ -236,7 +236,27 @@ class YoloDataPipeline:
         return (np.stack(imgs), np.stack(boxes), np.stack(classes),
                 np.stack(valid))
 
+    def _device_batch(self, staged) -> Dict:
+        """H2D + the jitted aug/targets program for one staged batch."""
+        imgs, boxes, classes, valid = staged
+        self.key, sub = jax.random.split(self.key)
+        images01, targets = self._batch_fn(
+            jnp.asarray(imgs),
+            jnp.asarray(boxes),
+            jnp.asarray(classes),
+            jnp.asarray(valid),
+            sub,
+        )
+        return {"image": images01, "targets": targets}
+
     def __iter__(self) -> Iterator[Dict]:
+        """Prefetch-to-device: the producer thread runs host staging AND
+        the device batch-build (H2D transfer + the jitted aug/targets
+        dispatch), so per-batch input work — including the dispatch RPC
+        on remote-attached TPUs — overlaps the consumer's train step
+        instead of serializing with it.  Single producer thread ⇒ the
+        RNG-key sequence (and therefore every batch) is identical to the
+        synchronous ``prefetch=0`` path."""
         import queue
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -249,7 +269,7 @@ class YoloDataPipeline:
             try:
                 while not stop.is_set():
                     labels = [next(it) for _ in range(self.batch_size)]
-                    q.put(self._stage_batch(labels))
+                    q.put(self._device_batch(self._stage_batch(labels)))
             except BaseException as e:  # surface in the consumer
                 q.put(e)
 
@@ -259,25 +279,12 @@ class YoloDataPipeline:
             t = threading.Thread(target=produce, args=(q, stop), daemon=True)
             t.start()
 
-            def staged_batches():
-                while True:
-                    item = q.get()
-                    if isinstance(item, BaseException):
-                        raise item
-                    yield item
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         else:
-            def staged_batches():
-                while True:
-                    labels = [next(it) for _ in range(self.batch_size)]
-                    yield self._stage_batch(labels)
-
-        for imgs, boxes, classes, valid in staged_batches():
-            self.key, sub = jax.random.split(self.key)
-            images01, targets = self._batch_fn(
-                jnp.asarray(imgs),
-                jnp.asarray(boxes),
-                jnp.asarray(classes),
-                jnp.asarray(valid),
-                sub,
-            )
-            yield {"image": images01, "targets": targets}
+            while True:
+                labels = [next(it) for _ in range(self.batch_size)]
+                yield self._device_batch(self._stage_batch(labels))
