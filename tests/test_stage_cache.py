@@ -148,6 +148,23 @@ class TestPrefetchToDevice:
                                               np.asarray(tb))
 
 
+class TestPrefetchedUtility:
+    def test_order_exhaustion_and_errors(self):
+        from tmv_tpu.data.prefetch import prefetched
+
+        assert list(prefetched(range(10), depth=3)) == list(range(10))
+        assert list(prefetched(iter([1, 2]), depth=0)) == [1, 2]
+
+        def boom():
+            yield 1
+            raise RuntimeError("x")
+
+        it = prefetched(boom())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            next(it)
+
+
 class TestEfficientDetPipelineCache:
     def test_device_aug_batches_identical(self, dataset, tmp_path):
         from tmv_tpu.data.efficientdet_pipeline import EfficientDetPipeline

@@ -81,7 +81,7 @@ def main():
         state = mgr.restore(state)
         loss_fn = make_yolo_loss_fn(model, image_wh, anchors)
         step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
-        it = iter(pipeline)
+        it = iter(pipeline)  # YoloDataPipeline prefetches to device itself
         for i in range(int(state.step), args.steps):
             state, metrics = step_fn(state, next(it), jax.random.key(i))
             if i % 100 == 0:

@@ -141,7 +141,7 @@ def main():
         loss_fn = make_yolo_loss_fn(det_model, (s, s), anchors,
                                     iou_type="ciou")
         step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
-        it = iter(pipeline)
+        it = iter(pipeline)  # YoloDataPipeline prefetches to device itself
         for i in range(int(state.step), args.steps):
             state, metrics = step_fn(state, next(it), jax.random.key(i))
             if i % 50 == 0:
@@ -163,8 +163,10 @@ def main():
     state = mgr.restore(state)
 
     step_fn = jax.jit(make_moco_train_step(model, tx))
-    batches = two_crop_batches(args.trainImagePath, args.batchSize,
-                               args.imageSize)
+    from tmv_tpu.data.prefetch import prefetched
+
+    batches = prefetched(two_crop_batches(args.trainImagePath,
+                                          args.batchSize, args.imageSize))
     for i in range(int(state.step), args.steps):
         state, metrics = step_fn(state, next(batches), jax.random.key(i))
         if i % 50 == 0:

@@ -57,6 +57,9 @@ def main():
     batches, gen = get_dataset(
         args.labelPath, args.batchSize, args.pointsNum, size, size,
         first_shape=args.firstShape)
+    from tmv_tpu.data.prefetch import prefetched
+
+    batches = prefetched(batches)
     print(f"{gen.labels_num} labels")
 
     model = UNetLogits(depth=args.depth, filters_base=args.filtersBase,
