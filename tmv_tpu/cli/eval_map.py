@@ -60,13 +60,21 @@ def parse_args():
     p.add_argument("--scoresThresh", type=float, default=0.2)
     p.add_argument("--iouThresh", type=float, default=0.5)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cacheDir", default=None,
+                   help="epoch-persistent staging cache (yolo family "
+                        "only; `data/stage_cache.py`) — speeds up "
+                        "repeated evaluations of the same dataset")
     p.add_argument("--int8Static", action="store_true",
                    help="evaluate the static-calibration int8 serving "
                         "path: calibrate activation scales on the first "
                         "16 eval images, then score the int8 predictor — "
                         "measures the quantization mAP delta (yolo: whole "
                         "net; efficientdet: backbone convs)")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.cacheDir and args.family != "yolo":
+        p.error("--cacheDir is yolo-family only (the efficientdet eval "
+                "path stages through the host-aug loader)")
+    return args
 
 
 def _restore_variables(args, model, x0):
@@ -130,7 +138,7 @@ def eval_yolo(args):
         args.imagePath, args.labelFile, args.classesFile,
         batch_size=args.batchSize,
         anchors=anchors, image_wh=image_wh, image_random=False,
-        label_mean=False, prefetch=2,
+        label_mean=False, prefetch=2, cache_dir=args.cacheDir,
     )
     classes_num = pipeline.classes_num
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
