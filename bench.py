@@ -241,6 +241,9 @@ def main():
         "pipeline_fed_d0_512_train_ips",
         "pipeline_fed_d0_512_devaug_train_ips",
         "pipeline_cached_fed_d0_512_train_ips",
+        "pipeline_clean_synth_d0_512_train_ips",
+        "pipeline_clean_cached_fed_d0_512_train_ips",
+        "axon_tunnel_h2d_mb_per_s",
         "static_int8_bench_yolov4_640_int8_static_speedup",
         "static_int8_bench_yolov4_416_int8_static_speedup",
         "static_int8_bench_d0_512_int8_static_speedup",
