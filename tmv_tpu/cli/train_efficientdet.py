@@ -174,10 +174,11 @@ def main():
                            print_every=20)
     timer = StepTimer(batch_size=args.batchSize)
 
-    from tmv_tpu.core.callbacks import EarlyStopping
+    from tmv_tpu.core.callbacks import EarlyStopping, GracefulShutdown
 
     early = (EarlyStopping(patience=args.earlyStopPatience)
              if args.earlyStopPatience else None)
+    shutdown = GracefulShutdown()
 
     total = args.epochs * args.stepsPerEpoch
     epoch_losses = []
@@ -192,6 +193,10 @@ def main():
         metrics.update(timer.tick())
         logger.log(i, metrics)
         epoch_losses.append(float(metrics["loss"]))
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(state.step)} and exiting")
+            break
         if (i + 1) % args.stepsPerEpoch == 0:
             mgr.save(int(state.step), state, wait=False)
             epoch_loss = float(np.mean(epoch_losses))

@@ -201,8 +201,11 @@ def main():
         model, image_wh, anchors, pipeline.classes_num, iou_type=iou_type)
 
     from tmv_tpu.core.callbacks import (
-        EarlyStopping, ReduceLROnPlateau, set_learning_rate,
+        EarlyStopping, GracefulShutdown, ReduceLROnPlateau,
+        set_learning_rate,
     )
+
+    shutdown = GracefulShutdown()
 
     early = (EarlyStopping(patience=args.earlyStopPatience)
              if args.earlyStopPatience else None)
@@ -224,6 +227,10 @@ def main():
         metrics.update(timer.tick())
         logger.log(step_i, metrics)
         epoch_losses.append(float(metrics["loss"]))
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(state.step)} and exiting")
+            break
         if (step_i + 1) % args.stepsPerEpoch == 0:
             mgr.save(int(state.step), state, wait=False)
             epoch_loss = float(np.mean(epoch_losses))

@@ -107,3 +107,43 @@ class ReduceLROnPlateau:
                     self.scale *= self.factor
                 self.wait = 0
         return self.lr
+
+
+class GracefulShutdown:
+    """Preemption-safe training: catch SIGTERM/SIGINT, finish the current
+    step, checkpoint, exit cleanly.
+
+    TPU fleet schedulers preempt with SIGTERM; the reference's only
+    recovery story is restart-and-resume from the last epoch checkpoint
+    (`yolo_v3/train.py:60-70`) — up to an epoch of work lost.  Installing
+    this in the CLI loop caps the loss at one step: the handler only sets
+    a flag (async-signal-safe), the loop polls ``requested`` at the step
+    boundary and performs the save itself.  The second signal restores the
+    previous handler, so a stuck save can still be killed.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.requested = False
+        self._prev = {}
+        for sig in signals or (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                self._prev[sig] = _signal.signal(sig, self._handle)
+            except (ValueError, OSError):  # non-main thread / unsupported
+                pass
+
+    def _handle(self, sig, frame):
+        self.requested = True
+        # second signal falls through to the original behavior
+        if sig in self._prev:
+            self._signal.signal(sig, self._prev[sig])
+
+    def uninstall(self):
+        for sig, prev in self._prev.items():
+            try:
+                self._signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        self._prev = {}
