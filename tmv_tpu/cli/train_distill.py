@@ -82,8 +82,15 @@ def main():
         loss_fn = make_yolo_loss_fn(model, image_wh, anchors)
         step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
         it = iter(pipeline)  # YoloDataPipeline prefetches to device itself
+        from tmv_tpu.core.callbacks import GracefulShutdown
+
+        shutdown = GracefulShutdown()
         for i in range(int(state.step), args.steps):
             state, metrics = step_fn(state, next(it), jax.random.key(i))
+            if shutdown.requested:
+                print(f"preemption signal: checkpointing at step "
+                      f"{int(state.step)} and exiting")
+                break
             if i % 100 == 0:
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
         mgr.save(int(state.step), state, force=True)
@@ -138,8 +145,15 @@ def main():
     targets_fn = jax.jit(jax.vmap(
         lambda b, c, v: make_yolo_targets(b, c, v, anchors, image_wh,
                                           classes_num)))
+    from tmv_tpu.core.callbacks import GracefulShutdown
+
+    shutdown = GracefulShutdown()
     rng = np.random.default_rng(0)
     for i in range(int(student.step), args.steps):
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(student.step)} and exiting")
+            break
         chunk = [files[rng.integers(0, len(files))]
                  for _ in range(args.batchSize)]
         imgs = jnp.asarray(np.stack([staged(p) for p in chunk]))

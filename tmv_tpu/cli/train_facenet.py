@@ -98,7 +98,14 @@ def main():
 
     per_triplet_batch = args.batchSize // 3
     outer = 0
+    from tmv_tpu.core.callbacks import GracefulShutdown
+
+    shutdown = GracefulShutdown()
     for epoch in range(args.epochs):
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(state.step)} and exiting")
+            break
         for _ in range(args.stepsPerEpoch):
             paths, num_per_class = dataset.sample_people()
             images = load_images(paths, args.imageSize)

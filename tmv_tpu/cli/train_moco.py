@@ -142,8 +142,15 @@ def main():
                                     iou_type="ciou")
         step_fn = jax.jit(make_train_step(loss_fn, tx, shadow_loss=True))
         it = iter(pipeline)  # YoloDataPipeline prefetches to device itself
+        from tmv_tpu.core.callbacks import GracefulShutdown
+
+        shutdown = GracefulShutdown()
         for i in range(int(state.step), args.steps):
             state, metrics = step_fn(state, next(it), jax.random.key(i))
+            if shutdown.requested:
+                print(f"preemption signal: checkpointing at step "
+                      f"{int(state.step)} and exiting")
+                break
             if i % 50 == 0:
                 print(f"step {i} loss {float(metrics['loss']):.4f}")
             if (i + 1) % 1000 == 0:
@@ -167,8 +174,15 @@ def main():
 
     batches = prefetched(two_crop_batches(args.trainImagePath,
                                           args.batchSize, args.imageSize))
+    from tmv_tpu.core.callbacks import GracefulShutdown
+
+    shutdown = GracefulShutdown()
     for i in range(int(state.step), args.steps):
         state, metrics = step_fn(state, next(batches), jax.random.key(i))
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(state.step)} and exiting")
+            break
         if i % 50 == 0:
             print(f"step {i} loss {float(metrics['loss']):.4f}")
         if (i + 1) % 1000 == 0:

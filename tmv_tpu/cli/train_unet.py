@@ -88,9 +88,16 @@ def main():
                            print_every=50)
     timer = StepTimer(batch_size=args.batchSize)
 
+    from tmv_tpu.core.callbacks import GracefulShutdown
+
+    shutdown = GracefulShutdown()
     for i in range(int(state.step), args.steps):
         batch = next(batches)
         state, metrics = step_fn(state, batch, jax.random.key(i))
+        if shutdown.requested:
+            print(f"preemption signal: checkpointing at step "
+                  f"{int(state.step)} and exiting")
+            break
         metrics.update(timer.tick())
         logger.log(i, metrics)
         window_losses.append(float(metrics["loss"]))
