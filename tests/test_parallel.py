@@ -549,6 +549,41 @@ class TestFSDP:
         assert np.isfinite(float(m2["loss"]))
         mgr.close()
 
+    def test_ema_and_shadow_loss_state_shards_too(self, fsdp_setup):
+        """The zoo's real train states carry weight-EMA mirrors and the
+        shadow-loss scalar (`core/train_state.py`); under FSDP the EMA
+        trees must shard like the params (they are the same shapes — the
+        other HBM hog) while the scalar stays replicated."""
+        from tmv_tpu.parallel.fsdp import (
+            FullyShardedDataParallel, fsdp_spec,
+        )
+
+        model, _, _, batch = fsdp_setup
+        variables = model.init(jax.random.key(0), batch["image"],
+                               train=False)
+        tx = optax.adam(1e-3)
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx,
+                                  ema_decay=0.999)
+        step = make_train_step(make_unet_loss_fn(model), tx,
+                               ema_decay=0.999, shadow_loss=True)
+        fsdp = FullyShardedDataParallel(min_size=8)
+        fs_step = fsdp.wrap_step(step, state)
+        s1, m1 = fs_step(fsdp.put_state(state), fsdp.put_batch(batch),
+                         fsdp.put_rng(jax.random.key(0)))
+        assert np.isfinite(float(m1["loss"]))
+
+        hits = []
+        for leaf in jax.tree_util.tree_leaves(s1.ema_params):
+            spec = fsdp_spec(leaf.shape, 8, min_size=8)
+            if spec == P():
+                continue
+            axis = list(spec).index("data")
+            hits.append(leaf.sharding.shard_shape(leaf.shape)[axis]
+                        == leaf.shape[axis] // 8)
+        assert hits and all(hits)
+        assert s1.shadow_loss.shape == ()  # replicated scalar survives
+
     def test_forward_matches_single_device(self, fsdp_setup):
         from tmv_tpu.parallel.fsdp import FullyShardedDataParallel
 
