@@ -84,6 +84,10 @@ def parse_args():
     if args.fsdp and (args.sp > 1 or args.tp > 1):
         p.error("--fsdp shards state over the data axis; it cannot be "
                 "combined with --sp/--tp on the CLI")
+    if args.dp and (args.sp > 1 or args.tp > 1 or args.fsdp):
+        p.error("--dp is implied by --sp/--tp/--fsdp (their meshes "
+                "already shard the batch over the data axis) — pass "
+                "only one mode")
     return args
 
 
