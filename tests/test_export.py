@@ -215,3 +215,71 @@ class TestInt8Export:
         out = loaded(None, img)
         assert_predictions_equal(ref, out, rtol=1e-5, atol=1e-5)
         assert read_export_meta(path)["quant"] == "int8_static"
+
+
+class TestEfficientDetExport:
+    """EfficientDet flows through the same artifact format + serving
+    contract via `make_efficientdet_predict` (normalized-xyxy, 0-based
+    class ids — the YOLO predictor contract)."""
+
+    @pytest.fixture(scope="class")
+    def ed_predictor(self):
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_predict,
+        )
+        from tmv_tpu.ops.anchors import Anchors
+
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.num_classes = 4  # 3 real classes + background
+        cfg.levels_size = [64]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        anchors = Anchors(cfg.min_level, cfg.max_level,
+                          (cfg.image_size, cfg.image_size), cfg.num_scales,
+                          cfg.aspect_ratios, cfg.anchor_scale)
+        model = EfficientDetNet(config=cfg)
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)), train=False)
+        predict = make_efficientdet_predict(model, anchors, cfg.image_size,
+                                            score_threshold=-10.0,
+                                            nms_backend="xla")
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+        return predict, variables, img
+
+    def test_contract_shapes_and_ranges(self, ed_predictor):
+        predict, variables, img = ed_predictor
+        boxes, ids, scores, valid = predict(variables, img)
+        assert boxes.shape[-1] == 4 and boxes.ndim == 2
+        assert ids.shape == scores.shape == valid.shape
+        v = np.asarray(valid)
+        assert v.any()  # score_threshold=-10 keeps candidates
+        b = np.asarray(boxes)[v]
+        # random weights can decode boxes far outside the frame (exp(th)
+        # blowups) — DetectionService clips after un-letterboxing; here
+        # only finiteness and the normalized scale are contractual
+        assert np.isfinite(b).all()
+        assert np.median(np.abs(b)) < 3.0  # normalized scale, not pixels
+        assert (np.asarray(ids)[v] >= 0).all()  # background removed
+
+    def test_artifact_matches_live_and_serves(self, ed_predictor):
+        predict, variables, img = ed_predictor
+        ref = predict(variables, img)
+        blob = export_predictor(predict, variables, img,
+                                bake_variables=True,
+                                platforms=("cpu",),
+                                meta={"image_size": 64,
+                                      "family": "efficientdet"})
+        loaded = load_predictor(blob)
+        out = loaded(None, img)
+        assert_predictions_equal(ref, out, rtol=1e-5, atol=1e-5)
+
+        service = DetectionService(loaded, None, ["a", "b", "c"], (64, 64))
+        boxes, ids, scores = service.predict_prepared(
+            np.asarray(img[0]), (64, 64), (0, 0, 0, 0))
+        assert boxes.ndim == 2 and boxes.shape[1] == 4

@@ -93,3 +93,52 @@ def make_efficientdet_eval(model, anchors, loss_fn, quant: str = "off"):
         return {"mAP": float(np.mean(maps))}
 
     return eval_step
+
+
+def make_efficientdet_predict(model, anchors, image_size: int,
+                              quant: str = "off",
+                              max_output_size: int = 200,
+                              iou_threshold: float = 0.5,
+                              score_threshold: float = 0.0001,
+                              iou_type: str = "diou",
+                              nms_backend: str = None):
+    """Jitted single-image predictor with the same contract as
+    ``make_yolo_predict``: (1, H, W, 3) float [0,1] image → padded
+    ``(boxes, classes_id, scores, valid)`` with boxes **normalized xyxy**
+    and class ids 0-based against the classes file (the internal
+    background class 0 removed).
+
+    The reference serves only YoloV4 (`views/object_detection.py:13-37`);
+    this adapter makes EfficientDet checkpoints flow through the same
+    serving surfaces (DetectionService, AOT export, ``serve --artifact``,
+    ``detect``) unchanged — decode + background filter + DIoU-NMS are the
+    eval semantics of `efficientdet_net_train.py:135-169`.  Pass
+    ``nms_backend='xla'`` when exporting multi-platform artifacts (pins
+    the portable NMS path in the closure, like ``make_yolo_predict``).
+    """
+    import jax.numpy as jnp
+
+    def _apply(variables, images):
+        if quant != "off":
+            from tmv_tpu.quant import quantized
+
+            with quantized(quant):
+                return model.apply(variables, images, train=False)
+        return model.apply(variables, images, train=False)
+
+    @jax.jit
+    def predict(variables, image):
+        boxes_out, classes_out = _apply(variables, image)
+        decoded = anchors.convert_outputs_boxes(
+            tuple(b.astype(jnp.float32) for b in boxes_out))
+        nms_boxes, nms_ids, nms_scores, valid = anchors.convert_outputs_one(
+            0, decoded, tuple(c.astype(jnp.float32) for c in classes_out),
+            max_output_size=max_output_size, iou_threshold=iou_threshold,
+            score_threshold=score_threshold, iou_type=iou_type,
+            nms_backend=nms_backend)
+        # yxyx letterbox pixels → normalized xyxy; background id 0 removed
+        y1, x1, y2, x2 = (nms_boxes[:, i] for i in range(4))
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1) / float(image_size)
+        return boxes, nms_ids - 1, nms_scores, valid
+
+    return predict

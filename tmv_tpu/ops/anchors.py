@@ -168,6 +168,7 @@ class Anchors:
         score_threshold: float = 0.0001,
         iou_type: str = "diou",
         pre_nms_size: int = 1024,
+        nms_backend: str = None,
     ):
         """Per-image decode → background filter → DIoU-NMS → sigmoid scores.
 
@@ -205,6 +206,7 @@ class Anchors:
             score_threshold=score_threshold,
             iou_type=iou_type,
             coord="yxyx",
+            backend=nms_backend,
         )
         sel = cand[idx]
         nms_boxes = boxes_cat[sel]
