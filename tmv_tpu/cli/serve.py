@@ -22,6 +22,13 @@ def parse_args():
                    choices=["v3", "v4", "resnet"],
                    help="'resnet' = the MoCo/distill ResNet50V2+YOLOv3-head "
                         "detector")
+    p.add_argument("--family", default="yolo",
+                   choices=["yolo", "efficientdet"],
+                   help="efficientdet serves the D-config named by "
+                        "--modelName through the same HTTP contract "
+                        "(simple path: --batch 1, no int8/dp/spatial)")
+    p.add_argument("--modelName", default="efficientdet-d0",
+                   help="efficientdet config name (family=efficientdet)")
     p.add_argument("--imageSize", type=int, default=416)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
@@ -63,6 +70,16 @@ def parse_args():
             p.error(f"{', '.join(bad)} cannot be combined with --artifact: "
                     "the exported program pins its own batch size and "
                     "dtypes at export time")
+    elif args.family == "efficientdet":
+        bad = [f for f, on in [("--batch", args.batch > 1),
+                               ("--int8", args.int8),
+                               ("--int8Static", bool(args.int8Static)),
+                               ("--dp", args.dp > 0),
+                               ("--spatial", args.spatial > 0)] if on]
+        if bad:
+            p.error(f"{', '.join(bad)} are not supported with --family "
+                    "efficientdet (use an exported --artifact for advanced "
+                    "serving modes)")
     else:
         if args.anchorsFile is None:
             p.error("--anchorsFile is required (omit only with --artifact)")
@@ -126,6 +143,52 @@ def _calibrate(model, variables, calib_dir, image_wh, max_images=32):
     return qv
 
 
+def _serve_efficientdet(args):
+    """Live EfficientDet serving: same HTTP contract via the
+    `make_efficientdet_predict` adapter (simple single-image path)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmv_tpu.core.checkpoint import CheckpointManager
+    from tmv_tpu.core.train_state import TrainState
+    from tmv_tpu.data.loaders import load_classes
+    from tmv_tpu.models.efficientdet import (
+        EfficientDetNet, get_efficientdet_config,
+    )
+    from tmv_tpu.models.efficientdet.harness import (
+        make_efficientdet_predict,
+    )
+    from tmv_tpu.ops.anchors import Anchors
+    from tmv_tpu.serving.app import DetectionService, run_server
+
+    classes_name, classes_num = load_classes(args.classesFile)
+    cfg = get_efficientdet_config(args.modelName)
+    cfg.num_classes = classes_num + 1  # background reserved at id 0
+    cfg.image_size = args.imageSize
+    cfg.levels_size = [args.imageSize]
+    for _ in range(cfg.max_level):
+        cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+    anchors = Anchors(cfg.min_level, cfg.max_level,
+                      (cfg.image_size, cfg.image_size), cfg.num_scales,
+                      cfg.aspect_ratios, cfg.anchor_scale)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = EfficientDetNet(config=cfg, dtype=dtype)
+    image_wh = (cfg.image_size, cfg.image_size)
+    x0 = jnp.zeros((1, image_wh[1], image_wh[0], 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, train=False)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              optax.sgd(1e-3))
+    state = CheckpointManager(args.modelPath).restore_weights(state)
+    print(f"model at step {int(state.step)}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    predict_fn = make_efficientdet_predict(model, anchors, cfg.image_size)
+    predict_fn(variables, x0)  # warm before accepting traffic
+    print("predictor warm")
+    service = DetectionService(predict_fn, variables, classes_name, image_wh)
+    run_server(service, args.host, args.port)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -142,6 +205,9 @@ def main():
     args = parse_args()
     if args.artifact:
         serve_artifact(args)
+        return
+    if args.family == "efficientdet":
+        _serve_efficientdet(args)
         return
     anchors = load_anchors(args.anchorsFile)
     classes_name, classes_num = load_classes(args.classesFile)
