@@ -267,6 +267,40 @@ class TestEfficientDetExport:
         assert np.median(np.abs(b)) < 3.0  # normalized scale, not pixels
         assert (np.asarray(ids)[v] >= 0).all()  # background removed
 
+    def test_batched_predictor_matches_single(self, ed_predictor):
+        """`make_efficientdet_predict_batched` (the micro-batch-queue
+        predictor behind `serve --family efficientdet --batch N`) must
+        match the single-image predictor row-for-row."""
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_predict_batched,
+        )
+        from tmv_tpu.ops.anchors import Anchors
+
+        predict, variables, _ = ed_predictor
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.num_classes = 4
+        cfg.levels_size = [64]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        anchors = Anchors(cfg.min_level, cfg.max_level, (64, 64),
+                          cfg.num_scales, cfg.aspect_ratios,
+                          cfg.anchor_scale)
+        model = EfficientDetNet(config=cfg)
+        batched = make_efficientdet_predict_batched(
+            model, anchors, 64, score_threshold=-10.0)
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(size=(3, 64, 64, 3))
+                           .astype(np.float32))
+        bb, bi, bs, bv = batched(variables, imgs)
+        for j in range(3):
+            ref = predict(variables, imgs[j:j + 1])
+            assert_predictions_equal(
+                ref, (bb[j], bi[j], bs[j], bv[j]), rtol=1e-5, atol=1e-5)
+
     def test_artifact_matches_live_and_serves(self, ed_predictor):
         predict, variables, img = ed_predictor
         ref = predict(variables, img)

@@ -26,7 +26,8 @@ def parse_args():
                    choices=["yolo", "efficientdet"],
                    help="efficientdet serves the D-config named by "
                         "--modelName through the same HTTP contract "
-                        "(simple path: --batch 1, no int8/dp/spatial)")
+                        "(single-image or --batch N micro-batching; "
+                        "no int8/dp/spatial)")
     p.add_argument("--modelName", default="efficientdet-d0",
                    help="efficientdet config name (family=efficientdet)")
     p.add_argument("--imageSize", type=int, default=416)
@@ -71,8 +72,7 @@ def parse_args():
                     "the exported program pins its own batch size and "
                     "dtypes at export time")
     elif args.family == "efficientdet":
-        bad = [f for f, on in [("--batch", args.batch > 1),
-                               ("--int8", args.int8),
+        bad = [f for f, on in [("--int8", args.int8),
                                ("--int8Static", bool(args.int8Static)),
                                ("--dp", args.dp > 0),
                                ("--spatial", args.spatial > 0)] if on]
@@ -182,11 +182,29 @@ def _serve_efficientdet(args):
     state = CheckpointManager(args.modelPath).restore_weights(state)
     print(f"model at step {int(state.step)}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    predict_fn = make_efficientdet_predict(model, anchors, cfg.image_size)
-    predict_fn(variables, x0)  # warm before accepting traffic
+    batcher = None
+    if args.batch > 1:
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_predict_batched,
+        )
+        from tmv_tpu.serving.batching import MicroBatcher
+
+        batched = make_efficientdet_predict_batched(
+            model, anchors, cfg.image_size)
+        batched(variables,
+                jnp.zeros((args.batch, image_wh[1], image_wh[0], 3)))
+        batcher = MicroBatcher(batched, variables, max_batch=args.batch,
+                               max_wait_ms=args.batchWaitMs)
+        predict_fn = batcher.as_predict_fn()
+    else:
+        predict_fn = make_efficientdet_predict(model, anchors,
+                                               cfg.image_size)
+        predict_fn(variables, x0)  # warm before accepting traffic
     print("predictor warm")
     service = DetectionService(predict_fn, variables, classes_name, image_wh)
-    run_server(service, args.host, args.port)
+    if batcher is not None:
+        service.batcher = batcher  # /stats batch-size histogram
+    run_server(service, args.host, args.port, threaded=args.batch > 1)
 
 
 def main():

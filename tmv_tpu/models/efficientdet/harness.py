@@ -142,3 +142,49 @@ def make_efficientdet_predict(model, anchors, image_size: int,
         return boxes, nms_ids - 1, nms_scores, valid
 
     return predict
+
+
+def make_efficientdet_predict_batched(model, anchors, image_size: int,
+                                      quant: str = "off",
+                                      max_output_size: int = 200,
+                                      iou_threshold: float = 0.5,
+                                      score_threshold: float = 0.0001,
+                                      iou_type: str = "diou",
+                                      nms_backend: str = None):
+    """Batched EfficientDet predictor for the serving micro-batch queue:
+    (B, H, W, 3) float images → per-image padded ``(boxes, classes_id,
+    scores, valid)`` with a leading batch axis — the batched mirror of
+    ``make_efficientdet_predict`` (forward shared; decode + background
+    filter + DIoU-NMS vmapped), same contract as
+    ``make_yolo_predict_batched``.
+    """
+    import jax.numpy as jnp
+
+    def _apply(variables, images):
+        if quant != "off":
+            from tmv_tpu.quant import quantized
+
+            with quantized(quant):
+                return model.apply(variables, images, train=False)
+        return model.apply(variables, images, train=False)
+
+    def nms_one(decoded_one, classes_one):
+        nms_boxes, nms_ids, nms_scores, valid = anchors.convert_outputs_one(
+            0, tuple(d[None] for d in decoded_one),
+            tuple(c[None] for c in classes_one),
+            max_output_size=max_output_size, iou_threshold=iou_threshold,
+            score_threshold=score_threshold, iou_type=iou_type,
+            nms_backend=nms_backend)
+        y1, x1, y2, x2 = (nms_boxes[:, i] for i in range(4))
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1) / float(image_size)
+        return boxes, nms_ids - 1, nms_scores, valid
+
+    @jax.jit
+    def predict(variables, images):
+        boxes_out, classes_out = _apply(variables, images)
+        decoded = anchors.convert_outputs_boxes(
+            tuple(b.astype(jnp.float32) for b in boxes_out))
+        classes_f = tuple(c.astype(jnp.float32) for c in classes_out)
+        return jax.vmap(nms_one)(list(decoded), list(classes_f))
+
+    return predict
