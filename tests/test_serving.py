@@ -139,6 +139,18 @@ class TestServeFlagValidation:
             self._parse(["--classesFile", "c.txt",
                          "--artifact", "m.tmvx", "--int8Static", "calib/"])
 
+    def test_efficientdet_family_flags(self):
+        # no anchors file needed; --batch composes with the family
+        args = self._parse(["--classesFile", "c.txt",
+                            "--family", "efficientdet", "--batch", "4"])
+        assert args.family == "efficientdet" and args.batch == 4
+        # int8 / dp / spatial are yolo-or-artifact-only — rejected up front
+        for extra in (["--int8"], ["--int8Static", "calib/"],
+                      ["--batch", "4", "--dp", "2"], ["--spatial", "2"]):
+            with pytest.raises(SystemExit):
+                self._parse(["--classesFile", "c.txt",
+                             "--family", "efficientdet"] + extra)
+
     def test_dp_flag_validation(self):
         with pytest.raises(SystemExit):  # dp needs batching
             self._parse(["--classesFile", "c.txt", "--anchorsFile", "a.txt",
