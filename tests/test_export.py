@@ -301,6 +301,53 @@ class TestEfficientDetExport:
             assert_predictions_equal(
                 ref, (bb[j], bi[j], bs[j], bv[j]), rtol=1e-5, atol=1e-5)
 
+    def test_spatial_and_dp_sharding_match_single_device(self,
+                                                         ed_predictor):
+        """`serve --family efficientdet --spatial N` (height-sharded,
+        the D6/D7x latency direction) and `--dp N` (batch-sharded) reuse
+        the family-agnostic wrappers — outputs must match the unsharded
+        program exactly on the 8-device CPU mesh."""
+        from tmv_tpu.parallel.inference import (
+            make_sharded_batched_predictor, make_spatial_predictor,
+        )
+
+        predict, variables, img = ed_predictor
+        ref = predict(variables, img)
+        sp_predict, sp_vars, mesh = make_spatial_predictor(
+            predict, variables, 4)
+        out = sp_predict(sp_vars, img)
+        assert_predictions_equal(ref, out, rtol=1e-5, atol=1e-5)
+
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_predict_batched,
+        )
+        from tmv_tpu.ops.anchors import Anchors
+
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = 64
+        cfg.num_classes = 4
+        cfg.levels_size = [64]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        anchors = Anchors(cfg.min_level, cfg.max_level, (64, 64),
+                          cfg.num_scales, cfg.aspect_ratios,
+                          cfg.anchor_scale)
+        model = EfficientDetNet(config=cfg)
+        batched = make_efficientdet_predict_batched(
+            model, anchors, 64, score_threshold=-10.0)
+        imgs = jnp.concatenate([img] * 4, axis=0)
+        ref_b = batched(variables, imgs)
+        dp_predict, dp_vars, _ = make_sharded_batched_predictor(
+            batched, variables, 4)
+        out_b = dp_predict(dp_vars, imgs)
+        for j in range(4):
+            assert_predictions_equal(
+                tuple(t[j] for t in ref_b), tuple(t[j] for t in out_b),
+                rtol=1e-5, atol=1e-5)
+
     def test_artifact_matches_live_and_serves(self, ed_predictor):
         predict, variables, img = ed_predictor
         ref = predict(variables, img)

@@ -140,13 +140,23 @@ class TestServeFlagValidation:
                          "--artifact", "m.tmvx", "--int8Static", "calib/"])
 
     def test_efficientdet_family_flags(self):
-        # no anchors file needed; --batch composes with the family
+        # no anchors file needed; batching/dp/spatial compose
         args = self._parse(["--classesFile", "c.txt",
                             "--family", "efficientdet", "--batch", "4"])
         assert args.family == "efficientdet" and args.batch == 4
-        # int8 / dp / spatial are yolo-or-artifact-only — rejected up front
+        args = self._parse(["--classesFile", "c.txt", "--family",
+                            "efficientdet", "--batch", "4", "--dp", "2"])
+        assert args.dp == 2
+        args = self._parse(["--classesFile", "c.txt", "--family",
+                            "efficientdet", "--imageSize", "512",
+                            "--spatial", "4"])
+        assert args.spatial == 4
+        # int8 is yolo-family only (measured loss on D0, PARITY §6);
+        # bad dp/spatial combos rejected up front
         for extra in (["--int8"], ["--int8Static", "calib/"],
-                      ["--batch", "4", "--dp", "2"], ["--spatial", "2"]):
+                      ["--dp", "2"],                      # dp needs batch
+                      ["--batch", "4", "--spatial", "2"],  # latency vs tput
+                      ["--imageSize", "65", "--spatial", "2"]):
             with pytest.raises(SystemExit):
                 self._parse(["--classesFile", "c.txt",
                              "--family", "efficientdet"] + extra)

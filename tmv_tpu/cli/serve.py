@@ -73,13 +73,22 @@ def parse_args():
                     "dtypes at export time")
     elif args.family == "efficientdet":
         bad = [f for f, on in [("--int8", args.int8),
-                               ("--int8Static", bool(args.int8Static)),
-                               ("--dp", args.dp > 0),
-                               ("--spatial", args.spatial > 0)] if on]
+                               ("--int8Static", bool(args.int8Static))]
+               if on]
         if bad:
             p.error(f"{', '.join(bad)} are not supported with --family "
-                    "efficientdet (use an exported --artifact for advanced "
-                    "serving modes)")
+                    "efficientdet (int8 serving is yolo-family; see "
+                    "PARITY §6 — D0 measured 0.73x)")
+        if args.dp:
+            if args.batch <= 1 or args.batch % args.dp:
+                p.error("--dp requires --batch > 1 divisible by it")
+        if args.spatial:
+            if args.batch > 1 or args.dp:
+                p.error("--spatial is the latency direction: --batch 1, "
+                        "no --dp")
+            if args.imageSize % args.spatial:
+                p.error(f"--imageSize {args.imageSize} is not divisible "
+                        f"by --spatial {args.spatial}")
     else:
         if args.anchorsFile is None:
             p.error("--anchorsFile is required (omit only with --artifact)")
@@ -191,6 +200,14 @@ def _serve_efficientdet(args):
 
         batched = make_efficientdet_predict_batched(
             model, anchors, cfg.image_size)
+        if args.dp:
+            from tmv_tpu.parallel.inference import (
+                make_sharded_batched_predictor,
+            )
+
+            batched, variables, mesh = make_sharded_batched_predictor(
+                batched, variables, args.dp)
+            print(f"data-parallel serving over {mesh.devices.size} devices")
         batched(variables,
                 jnp.zeros((args.batch, image_wh[1], image_wh[0], 3)))
         batcher = MicroBatcher(batched, variables, max_batch=args.batch,
@@ -199,6 +216,13 @@ def _serve_efficientdet(args):
     else:
         predict_fn = make_efficientdet_predict(model, anchors,
                                                cfg.image_size)
+        if args.spatial:
+            from tmv_tpu.parallel.inference import make_spatial_predictor
+
+            predict_fn, variables, mesh = make_spatial_predictor(
+                predict_fn, variables, args.spatial)
+            print(f"spatial serving over {mesh.devices.size} devices "
+                  "(image height sharded)")
         predict_fn(variables, x0)  # warm before accepting traffic
     print("predictor warm")
     service = DetectionService(predict_fn, variables, classes_name, image_wh)
