@@ -1,0 +1,81 @@
+"""Converged, non-toy mAP artifact for the EfficientDet family.
+
+`tools/e2e_converged_map.py` produces the YOLO-family artifact; every
+EfficientDet mAP number in the repo is a partially-trained demo.  This
+trains EfficientDet-D0 (scaled to a 64 px input) on the same 64-image
+synthetic set through the real CLI surface — cosine-SGD schedule, focal +
+box losses, anchors — then records stable mAP via the standalone eval CLI
+in reference / VOC / COCO semantics, writing `converged_map_ed.json`.
+
+Run on TPU (or CPU with the platform pinned first).  Scale overrides via
+the same TMV_CMAP_* env vars.
+"""
+import contextlib
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e2e_converged_map import SIZE, N_IMAGES, make_dataset, run_cli
+
+EPOCHS = int(os.environ.get("TMV_CMAP_EPOCHS", "30"))
+STEPS_PER_EPOCH = int(os.environ.get("TMV_CMAP_STEPS", "100"))
+
+
+def main():
+    t0 = time.time()
+    root = tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
+    make_dataset(root)
+    ckpt = os.path.join(root, "weights")
+    run_cli("tmv_tpu.cli.train_efficientdet", [
+        "--modelName", "efficientdet-d0",
+        "--classesFile", os.path.join(root, "classes.txt"),
+        "--trainData", os.path.join(root, "labels.txt"),
+        "--trainImagePath", os.path.join(root, "imgs"),
+        "--imageSize", str(SIZE),
+        "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
+        "--epochs", str(EPOCHS), "--modelPath", ckpt,
+        "--earlyStopPatience", "0",
+    ])
+
+    result = {"n_images": N_IMAGES,
+              "train_steps": EPOCHS * STEPS_PER_EPOCH,
+              "image_size": SIZE,
+              "model": "efficientdet-d0"}
+    for mode, variant, key in (
+        ("batch", "reference", "mAP_ref_per_batch"),
+        ("global", "reference", "mAP_ref_global"),
+        ("global", "voc", "mAP_voc_global"),
+        ("global", "coco", "mAP_coco_global"),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            run_cli("tmv_tpu.cli.eval_map", [
+                "--family", "efficientdet",
+                "--modelName", "efficientdet-d0",
+                "--classesFile", os.path.join(root, "classes.txt"),
+                "--imageSize", str(SIZE),
+                "--imagePath", os.path.join(root, "imgs"),
+                "--labelFile", os.path.join(root, "labels.txt"),
+                "--modelPath", ckpt,
+                "--mode", mode, "--variant", variant,
+            ])
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        result[key] = round(out["mAP"], 4)
+
+    result["wall_sec"] = round(time.time() - t0, 1)
+    with open(os.path.join(ROOT, "converged_map_ed.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    assert result["mAP_ref_global"] > 0.5, "did not converge"
+    print("CONVERGED-MAP-ED-OK")
+
+
+if __name__ == "__main__":
+    main()
