@@ -101,6 +101,41 @@ def setup_d0():
     return lambda k: np.asarray(chain(variables, x0, k))
 
 
+def setup_d0_predict():
+    """() → run(k) for the D0 single-image image→boxes chain (forward +
+    anchor decode + background filter + DIoU-NMS — the p50 path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmv_tpu.models.efficientdet import (
+        EfficientDetNet, get_efficientdet_config,
+    )
+    from tmv_tpu.models.efficientdet.harness import (
+        make_efficientdet_predict,
+    )
+    from tmv_tpu.ops.anchors import Anchors
+
+    cfg = get_efficientdet_config("efficientdet-d0")
+    size = cfg.image_size
+    anchors = Anchors(cfg.min_level, cfg.max_level, (size, size),
+                      cfg.num_scales, cfg.aspect_ratios, cfg.anchor_scale)
+    model = EfficientDetNet(config=cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, size, size, 3)), train=False)
+    predict = make_efficientdet_predict(model, anchors, size)
+    x1 = jnp.asarray(
+        rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+
+    def predict_fn(v, x):
+        boxes, ids, scores, valid = predict(v, x)
+        return (jnp.sum(boxes.astype(jnp.float32))
+                + jnp.sum(scores.astype(jnp.float32)))
+
+    chain = make_chain(predict_fn)
+    return lambda k: np.asarray(chain(variables, x1, k))
+
+
 def setup_yolo(size=640):
     """() → (fwd_run(k), predict_run(k)) for YOLOv4 chains."""
     import jax
@@ -194,17 +229,19 @@ def main():
         _fallback_line(t0)
         return
     d0_run = setup_d0()
+    d0_predict_run = setup_d0_predict()
     yolo_fwd_run, yolo_predict_run = setup_yolo(640)
 
-    # compile all three programs concurrently (the remote-compile tunnel
+    # compile all four programs concurrently (the remote-compile tunnel
     # dominates wall time); timing below stays sequential
-    runs = [d0_run, yolo_fwd_run, yolo_predict_run]
+    runs = [d0_run, d0_predict_run, yolo_fwd_run, yolo_predict_run]
     with ThreadPoolExecutor(len(runs)) as pool:
         list(pool.map(lambda r: r(K_SMALL), runs))
 
     d0_ips = BATCH_D0 / slope_time(d0_run)
     yolo_ips = BATCH_YOLO / slope_time(yolo_fwd_run)
     p50_device_ms = slope_time(yolo_predict_run) * 1000
+    d0_p50_device_ms = slope_time(d0_predict_run) * 1000
 
     # e2e through the tunnel: the compiled predict chain at k=1
     wall = []
@@ -258,6 +295,8 @@ def main():
             "yolov4_640_infer_images_per_sec_per_chip": round(yolo_ips, 3),
             "yolov4_640_p50_image_to_boxes_ms_device": round(
                 p50_device_ms, 3),
+            "efficientdet_d0_p50_image_to_boxes_ms_device": round(
+                d0_p50_device_ms, 3),
             "yolov4_640_p50_image_to_boxes_ms_e2e_tunnel": round(
                 p50_e2e_ms, 3),
             "tf_cpu_baseline_d0_ips": baseline,
