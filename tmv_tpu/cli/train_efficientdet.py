@@ -186,11 +186,26 @@ def main():
 
     total = args.epochs * args.stepsPerEpoch
     epoch_losses = []
+    warned_fg = False
     for i in range(int(state.step), total):
         if first_batch is not None:
             batch, first_batch = first_batch, None
         else:
             batch = next(it)
+        if not warned_fg:
+            # anchor/box scale mismatch fails silently otherwise: with no
+            # anchor reaching IoU>=0.5 every target is background, the
+            # classifier trains to predict nothing, and mAP is exactly 0
+            fg = sum(float(np.asarray(m).sum()) for m in batch["masks"])
+            if fg == 0:
+                print("WARNING: first batch assigned ZERO foreground "
+                      "anchors — the ground-truth boxes are likely far "
+                      "from every anchor size (anchor_scale "
+                      f"{cfg.anchor_scale}, levels {cfg.min_level}-"
+                      f"{cfg.max_level} at {cfg.image_size} px).  "
+                      "Training will converge to background-only output; "
+                      "adjust image size or the config's anchor_scale.")
+            warned_fg = True
         if dp is not None:
             batch = dp.put_batch(batch)
         state, metrics = step_fn(state, batch, jax.random.key(i))
