@@ -114,3 +114,39 @@ class TestEfficientDetPipelineE2E:
                 break
             batch = next(it)
         assert pos_classes and all(c in (1, 2) for c in pos_classes)
+
+
+@pytest.mark.slow
+class TestZeroForegroundWarning:
+    def test_train_efficientdet_warns_on_anchor_mismatch(self, tmp_path,
+                                                         monkeypatch,
+                                                         capsys):
+        """Anchor/box scale mismatch must not fail silently: with every
+        GT box below IoU 0.5 against every anchor, all targets are
+        background and mAP lands at exactly 0 — the CLI warns on the
+        first batch and names the knobs."""
+        import sys
+
+        rng = np.random.default_rng(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        lines = []
+        for i in range(4):
+            arr = rng.integers(0, 60, (96, 96, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
+            lines.append(f"im{i}.jpg|a,10,10,16,16|")  # 6 px boxes
+        (tmp_path / "labels.txt").write_text("\n".join(lines) + "\n")
+        (tmp_path / "classes.txt").write_text("a\nb\n")
+
+        argv = ["train_efficientdet", "--modelName", "efficientdet-d0",
+                "--classesFile", str(tmp_path / "classes.txt"),
+                "--trainData", str(tmp_path / "labels.txt"),
+                "--trainImagePath", str(img_dir), "--imageSize", "64",
+                "--batchSize", "4", "--stepsPerEpoch", "2",
+                "--epochs", "1", "--modelPath", str(tmp_path / "w"),
+                "--earlyStopPatience", "0"]
+        monkeypatch.setattr(sys, "argv", argv)
+        from tmv_tpu.cli import train_efficientdet
+
+        train_efficientdet.main()
+        assert "ZERO foreground" in capsys.readouterr().out
