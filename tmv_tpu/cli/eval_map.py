@@ -220,6 +220,12 @@ def eval_efficientdet(args):
         cfg.levels_size = [args.imageSize]
         for _ in range(cfg.max_level):
             cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+    # head size follows the dataset (matches train_efficientdet):
+    # N real classes + background id 0
+    from tmv_tpu.data.loaders import load_classes
+
+    _, _classes_num = load_classes(args.classesFile)
+    cfg.num_classes = _classes_num + 1
     anchors = Anchors(
         min_level=cfg.min_level, max_level=cfg.max_level,
         image_size=(cfg.image_size, cfg.image_size),

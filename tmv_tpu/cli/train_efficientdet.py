@@ -108,6 +108,14 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.remat:
         cfg.remat = True
+    # head size follows the dataset: N real classes + background id 0
+    # (the config's 81 is the COCO default, not a contract — a 2-class
+    # dataset otherwise trains an 81-way head and non-COCO mAP variants
+    # average over 79 classes that can never have data)
+    from tmv_tpu.data.loaders import load_classes
+
+    _, _classes_num = load_classes(args.classesFile)
+    cfg.num_classes = _classes_num + 1
     model = EfficientDetNet(config=cfg, dtype=dtype)
 
     anchors = Anchors(
