@@ -16,6 +16,18 @@ score-greedy matching) for honest tracking; benchmarks report both.
 
 Host-side numpy (runs on eval results), same as the reference's
 ``tf.numpy_function`` escape hatch.
+
+Tie ordering: every variant sorts predictions by score with a *stable*
+descending sort, so equal-score rows keep their emission order (the NMS
+output is logit-ranked per image).  The reference's own sort
+(`utils/mAP.py:63`: ``argsort(...)[::-1]``, unstable quicksort reversed)
+leaves tie order arbitrary — and on models whose f32 sigmoid saturates to
+exactly 1.0 it *reverses* emission order, ranking duplicate FPs above the
+TPs they duplicate and silently crushing AP (observed: a converged
+EfficientDet scored 0.02 reference-mAP vs 0.93 COCO on the same rows).
+Normalizing ties is not a parity break: the oracle parity tests
+(`tests/test_map_eval.py`) hold whenever scores are distinct, which is the
+only regime where the reference's tie behavior is even deterministic.
 """
 
 from typing import Dict, List, Sequence
@@ -59,7 +71,8 @@ def _tp_and_count(data: Sequence[Dict], class_id: int, thresh: float):
         tp = np.concatenate(tp_rows, axis=0)
     else:
         tp = np.zeros((0, 2))
-    tp = tp[np.argsort(tp[:, 1])[::-1], :]
+    # stable score-desc (ties keep emission order; see module docstring)
+    tp = tp[np.argsort(-tp[:, 1], kind="stable"), :]
     return tp, gt_num
 
 
@@ -101,7 +114,7 @@ def _greedy_rows(data: Sequence[Dict], class_id: int, thresh: float):
         gt_num += gt.shape[0]
         pred = np.asarray(d["prediction"], dtype=np.float64).reshape(-1, 6)
         pred = pred[pred[:, 4] == class_id]
-        order = np.argsort(-pred[:, 5])
+        order = np.argsort(-pred[:, 5], kind="stable")
         claimed = np.zeros(gt.shape[0], dtype=bool)
         for pi in order:
             p = pred[pi]
@@ -131,7 +144,7 @@ def get_ap_voc(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> floa
     """Corrected VOC AP: proper axes and score-greedy TP matching."""
     rows, gt_num = _greedy_rows(data, class_id, thresh)
     tp = np.asarray(rows).reshape(-1, 2)
-    tp = tp[np.argsort(tp[:, 1])[::-1], :]
+    tp = tp[np.argsort(-tp[:, 1], kind="stable"), :]
     precision_list, recall_list = _precision_recall(tp, gt_num)
     mrec = np.concatenate(([0.0], recall_list, [1.0]))
     mpre = np.concatenate(([0.0], precision_list, [0.0]))
