@@ -20,14 +20,17 @@ Host-side numpy (runs on eval results), same as the reference's
 Tie ordering: every variant sorts predictions by score with a *stable*
 descending sort, so equal-score rows keep their emission order (the NMS
 output is logit-ranked per image).  The reference's own sort
-(`utils/mAP.py:63`: ``argsort(...)[::-1]``, unstable quicksort reversed)
-leaves tie order arbitrary — and on models whose f32 sigmoid saturates to
-exactly 1.0 it *reverses* emission order, ranking duplicate FPs above the
-TPs they duplicate and silently crushing AP (observed: a converged
-EfficientDet scored 0.02 reference-mAP vs 0.93 COCO on the same rows).
-Normalizing ties is not a parity break: the oracle parity tests
-(`tests/test_map_eval.py`) hold whenever scores are distinct, which is the
-only regime where the reference's tie behavior is even deterministic.
+(`utils/mAP.py:63`: ``argsort(...)[::-1]``) *reverses* equal-score runs
+(numpy introsort falls back to a stable insertion sort on small arrays,
+and the ``[::-1]`` then flips each tie group).  For ``get_ap`` this is a
+**value-level no-op**: because ``recall_list`` is monotone non-decreasing,
+the quirk's envelope flattens to the final recall and the quirk AP reduces
+algebraically to ``final_recall × final_precision`` — order-invariant, so
+oracle parity holds bit-exactly even on fully tied scores (fuzzed in
+`tests/test_map_eval.py::TestTieOrdering`).  For the *corrected* variants
+(``get_ap_voc``/``get_ap_coco``), where ranking genuinely moves the PR
+curve, the stable sort keeps TPs ranked above the duplicate FPs a
+saturated (score-1.0) head emits after them.
 """
 
 from typing import Dict, List, Sequence
@@ -96,7 +99,14 @@ def _envelope_area(mrec: np.ndarray, mpre: np.ndarray) -> float:
 
 def get_ap(data: Sequence[Dict], class_id: int, thresh: float = 0.5) -> float:
     """Reference-faithful AP including the mrec/mpre name swap
-    (`utils/mAP.py:88-89`): the "recall axis" is actually precision."""
+    (`utils/mAP.py:88-89`): the "recall axis" is actually precision.
+
+    Tie order cannot change this value: the quirk AP reduces to
+    ``final_recall × final_precision`` (see module docstring), so our
+    stable tie sort and the reference's tie-reversing
+    ``argsort(scores)[::-1]`` give the same number — oracle parity holds
+    even on fully tied scores (`tests/test_map_eval.py::TestTieOrdering`).
+    """
     tp, gt_num = _tp_and_count(data, class_id, thresh)
     precision_list, recall_list = _precision_recall(tp, gt_num)
     mrec = np.concatenate(([0.0], precision_list, [1.0]))
