@@ -137,6 +137,9 @@ def main():
         result[key] = round(out["mAP"], 4)
 
     result["wall_sec"] = round(time.time() - t0, 1)
+    # self-describing pass/fail so a failing run can't look green
+    result["converged"] = bool(result["mAP_ref_global"] > 0.5
+                               and result["mAP_coco_global"] > 0.15)
     with open(os.path.join(ROOT, "converged_map.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

@@ -48,11 +48,14 @@ def main():
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
               "image_size": SIZE,
               "model": "efficientdet-d0"}
-    for mode, variant, key in (
-        ("batch", "reference", "mAP_ref_per_batch"),
-        ("global", "reference", "mAP_ref_global"),
-        ("global", "voc", "mAP_voc_global"),
-        ("global", "coco", "mAP_coco_global"),
+    for mode, variant, key, extra in (
+        ("batch", "reference", "mAP_ref_per_batch", []),
+        ("global", "reference", "mAP_ref_global", []),
+        ("global", "voc", "mAP_voc_global", []),
+        ("global", "coco", "mAP_coco_global", []),
+        # quantization accuracy delta: same eval through the int8 path
+        ("global", "reference", "mAP_ref_global_int8_static",
+         ["--int8Static"]),
     ):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -65,15 +68,18 @@ def main():
                 "--labelFile", os.path.join(root, "labels.txt"),
                 "--modelPath", ckpt,
                 "--mode", mode, "--variant", variant,
-            ])
+            ] + extra)
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         result[key] = round(out["mAP"], 4)
 
     result["wall_sec"] = round(time.time() - t0, 1)
+    # the artifact self-describes whether it passed the convergence bar, so
+    # a failing run can never masquerade as a green one (round-3 weak #1)
+    result["converged"] = bool(result["mAP_ref_global"] > 0.5)
     with open(os.path.join(ROOT, "converged_map_ed.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    assert result["mAP_ref_global"] > 0.5, "did not converge"
+    assert result["converged"], "did not converge"
     print("CONVERGED-MAP-ED-OK")
 
 
