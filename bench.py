@@ -31,9 +31,15 @@ import numpy as np
 BATCH_D0 = 64
 BATCH_YOLO = 16
 K_SMALL, K_LARGE = 1, 5
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "baseline_measured.json")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(ROOT, "baseline_measured.json")
 FALLBACK_TF_CPU_IPS = 5.97
+
+# TPU v5e (1 chip): bf16 MXU peak and HBM bandwidth.  The repo's own
+# calibration (tools/honest_bench.py) reaches 172 TFLOP/s = 87% of this
+# peak on an 8192^3 bf16 matmul, so the denominator is realistic.
+PEAK_BF16_TFLOPS = 197.0
+HBM_GB_PER_S = 819.0
 
 YOLO_ANCHORS = np.array(
     [[[116, 90], [156, 198], [373, 326]],
@@ -63,20 +69,124 @@ def make_chain(apply_fn):
 
 def slope_time(run, reps=3):
     """Per-iteration device seconds of ``run(k)`` via the slope method."""
-    times = {}
+    return slope_stats(run, reps)[0]
+
+
+def slope_stats(run, reps=3):
+    """(best_slope_s, stddev_pct) of ``run(k)`` via the slope method.
+
+    Each rep produces one independent slope estimate from a fresh
+    (k_small, k_large) pair; the best (minimum) slope is the measurement
+    (least interference) and the spread across reps is the run-to-run
+    noise a regression guard must exceed to be signal.
+    """
     for k in (K_SMALL, K_LARGE):
         _ = run(k)  # warm (compile amortized on first call)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = run(k)
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = run(K_SMALL)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = run(K_LARGE)
+        t_large = time.perf_counter() - t0
+        slopes.append((t_large - t_small) / (K_LARGE - K_SMALL))
+    best = min(slopes)
+    std_pct = float(np.std(slopes) / np.mean(slopes) * 100)
+    return best, round(std_pct, 2)
+
+
+def roofline(apply_fn, variables, x):
+    """Roofline inputs for one application of ``apply_fn(variables, x)``.
+
+    Returns ``(flops, min_bytes)`` or ``(None, None)``.  ``flops`` comes
+    from XLA's own HLO cost analysis of the lowered (pre-optimization)
+    program — fusion does not change conv/matmul FLOPs, so this is the
+    honest numerator.  ``min_bytes`` is an explicit *lower bound* on HBM
+    traffic: every parameter must be read at least once per step (counted
+    at 2 B/param — the bf16 compute width, optimistic vs the f32 trees in
+    HBM) plus the input batch; intermediate activations that spill between
+    fusions are NOT counted, so the bound can only flatter the hardware,
+    never the code.
+    """
+    import jax
+
+    try:
+        ca = jax.jit(apply_fn).lower(variables, x).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception:
+        return None, None
+    n_params = sum(int(np.prod(a.shape))
+                   for a in jax.tree_util.tree_leaves(variables))
+    min_bytes = 2 * n_params + x.size * x.dtype.itemsize
+    return flops, float(min_bytes)
+
+
+def roofline_keys(prefix, flops, min_bytes, batch, sec_per_batch):
+    """MFU / roofline keys for one model's measured slope time."""
+    if flops is None:
+        return {}
+    achieved = flops / sec_per_batch
+    bound_s = max(flops / (PEAK_BF16_TFLOPS * 1e12),
+                  min_bytes / (HBM_GB_PER_S * 1e9))
+    return {
+        f"{prefix}_flops_per_image_g": round(flops / batch / 1e9, 2),
+        f"{prefix}_achieved_tflops": round(achieved / 1e12, 2),
+        f"{prefix}_mfu_pct": round(achieved / (PEAK_BF16_TFLOPS * 1e12)
+                                   * 100, 2),
+        f"{prefix}_roofline_bound_ms": round(bound_s * 1e3, 3),
+        f"{prefix}_pct_of_roofline": round(bound_s / sec_per_batch * 100, 1),
+    }
+
+
+def prev_round_comparison(current):
+    """Compare this run's measured keys to the latest BENCH_r*.json.
+
+    Returns ``{}`` when no prior artifact exists.  Keys whose
+    images/sec (higher-better) dropped — or p50 ms (lower-better) rose —
+    by >5% land in ``regressions_gt_5pct`` so a real perf loss is a flag,
+    not a diff archaeology exercise (round-3 weak #4).
+    """
+    import glob
+
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+        if isinstance(prev, dict) and "parsed" in prev:
+            prev = prev["parsed"]
+    except Exception:
+        return {}
+    prev_flat = {"value": prev.get("value"), **prev.get("extra", {})}
+    regressions = []
+    for key, higher_better in (
+        ("value", True),
+        ("yolov4_640_infer_images_per_sec_per_chip", True),
+        ("yolov4_640_p50_image_to_boxes_ms_device", False),
+        ("efficientdet_d0_p50_image_to_boxes_ms_device", False),
+    ):
+        old, new = prev_flat.get(key), current.get(key)
+        if not (isinstance(old, (int, float)) and old
+                and isinstance(new, (int, float))):
+            continue
+        ratio = new / old
+        worse = ratio < 0.95 if higher_better else ratio > 1.05
+        if worse:
+            regressions.append(
+                f"{key}: {old} -> {new} ({(ratio - 1) * 100:+.1f}%)")
+    out = {"prev_round_file": os.path.basename(benches[-1]),
+           "regressions_gt_5pct": regressions}
+    if isinstance(prev_flat.get("value"), (int, float)) and prev_flat["value"]:
+        out["vs_prev_round"] = round(current["value"] / prev_flat["value"], 4)
+    return out
 
 
 def setup_d0():
-    """() → run(k) for the D0 batched-forward chain."""
+    """() → (run(k), (flops, min_bytes)) for the D0 batched-forward chain."""
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +208,9 @@ def setup_d0():
         return sum(jnp.sum(b.astype(jnp.float32)) for b in boxes)
 
     chain = make_chain(apply_fn)
-    return lambda k: np.asarray(chain(variables, x0, k))
+    fwd = lambda v, x: model.apply(v, x, train=False)
+    return (lambda k: np.asarray(chain(variables, x0, k)),
+            roofline(fwd, variables, x0))
 
 
 def setup_d0_predict():
@@ -137,7 +249,7 @@ def setup_d0_predict():
 
 
 def setup_yolo(size=640):
-    """() → (fwd_run(k), predict_run(k)) for YOLOv4 chains."""
+    """() → (fwd_run(k), predict_run(k), (flops, min_bytes)) for YOLOv4."""
     import jax
     import jax.numpy as jnp
 
@@ -168,8 +280,10 @@ def setup_yolo(size=640):
                 + jnp.sum(scores.astype(jnp.float32)))
 
     predict_chain = make_chain(predict_fn)
+    fwd = lambda v, x: model.apply(v, x, train=False)
     return (lambda k: np.asarray(fwd_chain(variables, xb, k)),
-            lambda k: np.asarray(predict_chain(variables, x1, k)))
+            lambda k: np.asarray(predict_chain(variables, x1, k)),
+            roofline(fwd, variables, xb))
 
 
 def _backend_alive(timeout_s: int = 150) -> bool:
@@ -228,9 +342,9 @@ def main():
     if not _backend_alive():
         _fallback_line(t0)
         return
-    d0_run = setup_d0()
+    d0_run, d0_roofline = setup_d0()
     d0_predict_run = setup_d0_predict()
-    yolo_fwd_run, yolo_predict_run = setup_yolo(640)
+    yolo_fwd_run, yolo_predict_run, yolo_roofline = setup_yolo(640)
 
     # compile all four programs concurrently (the remote-compile tunnel
     # dominates wall time); timing below stays sequential
@@ -238,8 +352,10 @@ def main():
     with ThreadPoolExecutor(len(runs)) as pool:
         list(pool.map(lambda r: r(K_SMALL), runs))
 
-    d0_ips = BATCH_D0 / slope_time(d0_run)
-    yolo_ips = BATCH_YOLO / slope_time(yolo_fwd_run)
+    d0_sec, d0_std_pct = slope_stats(d0_run)
+    yolo_sec, yolo_std_pct = slope_stats(yolo_fwd_run)
+    d0_ips = BATCH_D0 / d0_sec
+    yolo_ips = BATCH_YOLO / yolo_sec
     p50_device_ms = slope_time(yolo_predict_run) * 1000
     d0_p50_device_ms = slope_time(d0_predict_run) * 1000
 
@@ -286,28 +402,39 @@ def main():
         "static_int8_bench_d0_512_int8_static_speedup",
     ) if k in measured}
 
-    print(json.dumps({
+    extra = {
+        "yolov4_640_infer_images_per_sec_per_chip": round(yolo_ips, 3),
+        "yolov4_640_p50_image_to_boxes_ms_device": round(
+            p50_device_ms, 3),
+        "efficientdet_d0_p50_image_to_boxes_ms_device": round(
+            d0_p50_device_ms, 3),
+        "yolov4_640_p50_image_to_boxes_ms_e2e_tunnel": round(
+            p50_e2e_ms, 3),
+        "efficientdet_d0_ips_run_stddev_pct": d0_std_pct,
+        "yolov4_640_ips_run_stddev_pct": yolo_std_pct,
+        **roofline_keys("efficientdet_d0", *d0_roofline, BATCH_D0, d0_sec),
+        **roofline_keys("yolov4_640", *yolo_roofline, BATCH_YOLO, yolo_sec),
+        "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+        "hbm_gb_per_s": HBM_GB_PER_S,
+        "tf_cpu_baseline_d0_ips": baseline,
+        **carried,
+        "bench_wall_sec": round(time.time() - t0, 1),
+        "method": "slope (k-chained jit executions, traced k; axon "
+                  "tunnel RPC floor ~30ms and unreliable "
+                  "block_until_ready cancelled); e2e_tunnel is the "
+                  "naive wall clock; mfu = XLA-counted fwd FLOPs x "
+                  "measured ips / 197 TFLOP/s; roofline bound = "
+                  "max(FLOPs/peak, min-HBM-bytes/819GBps)",
+    }
+    line = {
         "metric": "efficientdet_d0_infer_images_per_sec_per_chip",
         "value": round(d0_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(d0_ips / baseline, 3),
-        "extra": {
-            "yolov4_640_infer_images_per_sec_per_chip": round(yolo_ips, 3),
-            "yolov4_640_p50_image_to_boxes_ms_device": round(
-                p50_device_ms, 3),
-            "efficientdet_d0_p50_image_to_boxes_ms_device": round(
-                d0_p50_device_ms, 3),
-            "yolov4_640_p50_image_to_boxes_ms_e2e_tunnel": round(
-                p50_e2e_ms, 3),
-            "tf_cpu_baseline_d0_ips": baseline,
-            **carried,
-            "bench_wall_sec": round(time.time() - t0, 1),
-            "method": "slope (k-chained jit executions, traced k; axon "
-                      "tunnel RPC floor ~30ms and unreliable "
-                      "block_until_ready cancelled); e2e_tunnel is the "
-                      "naive wall clock",
-        },
-    }))
+    }
+    extra.update(prev_round_comparison({**line, **extra}))
+    line["extra"] = extra
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
