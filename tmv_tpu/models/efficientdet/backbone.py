@@ -66,12 +66,21 @@ class SE(nn.Module):
 
 
 class Stem(nn.Module):
+    """Reference stem (`layers/stem.py:6-38`).
+
+    ``stem_s2d=True`` re-expresses the identical 3x3/s2 conv as
+    space-to-depth(2) + a 2x2/s1 conv with the kernel rearranged at apply
+    time (`ops/space_to_depth.py`) — same (3,3,C,F) checkpoint layout,
+    same math up to float reassociation, TPU lane-utilization move.
+    """
+
     stem_filters: int
     width_coefficient: float
     depth_divisor: int
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,12 +99,27 @@ class Stem(nn.Module):
             return nn.swish(y.astype(self.dtype))
         if mode == "calib" and not train:
             _sow_calib(self, "Conv_0", x)
-        x = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, kernel_init=conv_kernel_init,
-                    dtype=self.dtype)(x)
+        if self.stem_s2d:
+            import jax.lax as lax
+
+            from tmv_tpu.ops.space_to_depth import (
+                space_to_depth, stem_kernel_to_s2d,
+            )
+
+            kernel = _ConvKernelParams(
+                (3, 3, x.shape[-1], filters), name="Conv_0")()
+            w2 = stem_kernel_to_s2d(kernel.astype(self.dtype))
+            x = lax.conv_general_dilated(
+                space_to_depth(x.astype(self.dtype), 2), w2, (1, 1),
+                [(0, 1), (0, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, kernel_init=conv_kernel_init,
+                        dtype=self.dtype, name="Conv_0")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                         dtype=self.dtype)(x)
+                         dtype=self.dtype, name="BatchNorm_0")(x)
         return nn.swish(x)
 
 
@@ -274,6 +298,7 @@ class BackboneModel(nn.Module):
     dtype: Any = jnp.float32
     fused_dw_eval: bool = False
     remat: bool = False
+    stem_s2d: bool = False
 
     def scaled_blocks(self) -> List[EfficientDetBlockArgs]:
         out = []
@@ -304,7 +329,7 @@ class BackboneModel(nn.Module):
     def __call__(self, x, train: bool = False):
         x = Stem(self.blocks_args[0].input_filters, self.width_coefficient,
                  self.depth_divisor, self.bn_momentum, self.bn_epsilon,
-                 self.dtype)(x, train)
+                 self.dtype, stem_s2d=self.stem_s2d)(x, train)
         blocks = self.scaled_blocks()
         # block-level rematerialization: backward recomputes each MBConv's
         # interior (expand/dw/SE activations) instead of storing it — exact,

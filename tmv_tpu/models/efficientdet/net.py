@@ -45,6 +45,7 @@ class EfficientDetNet(nn.Module):
             bn_momentum=bn_m, bn_epsilon=bn_e, dtype=self.dtype,
             fused_dw_eval=cfg.get("fused_dw_eval", False),
             remat=remat,
+            stem_s2d=cfg.get("stem_s2d", False),
             name="backbone",
         )
         all_feats = backbone(x, train)
