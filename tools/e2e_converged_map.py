@@ -38,31 +38,60 @@ STEPS_PER_EPOCH = int(os.environ.get("TMV_CMAP_STEPS", "100"))
 LR = os.environ.get("TMV_CMAP_LR", "5e-4")
 
 
+CLASS_COLORS = {
+    "red": [220, 30, 30], "green": [30, 220, 30],
+    "blue": [40, 60, 220], "yellow": [220, 200, 30],
+}
+
+
 def make_dataset(root, n=N_IMAGES, hw=HW):
+    """Hardened r4 set (round-3 weak #6 / item 7): the r3 set scored a
+    perfect VOC-global 1.0, so regressions near the top were invisible.
+    This set adds headroom pressure: 4 classes, 1–6 boxes per image,
+    smaller boxes (down to 12 px at hw=96), *partial overlaps allowed*
+    (crowding stresses NMS + localization), varied aspect ratios, and
+    unlabeled white distractor rectangles (false-positive bait)."""
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(7)
     lines = []
+    names = list(CLASS_COLORS)
     for i in range(n):
         img = rng.integers(0, 60, (hw, hw, 3), dtype=np.uint8)
         entries = []
         placed = []
         sc = hw / 96.0  # box scale follows the on-disk image size
-        for _ in range(int(rng.integers(1, 4))):
+
+        def overlap_frac(x1, y1, w, h):
+            worst = 0.0
+            for px, py, pw, ph in placed:
+                ix = max(0, min(x1 + w, px + pw) - max(x1, px))
+                iy = max(0, min(y1 + h, py + ph) - max(y1, py))
+                worst = max(worst, ix * iy / min(w * h, pw * ph))
+            return worst
+
+        # unlabeled distractors first so real boxes can partly cover them
+        for _ in range(int(rng.integers(0, 3))):
+            dx = int(rng.integers(2, hw - int(16 * sc)))
+            dy = int(rng.integers(2, hw - int(16 * sc)))
+            dw = int(rng.integers(int(8 * sc), int(16 * sc)))
+            dh = int(rng.integers(int(8 * sc), int(16 * sc)))
+            img[dy:dy + dh, dx:dx + dw] = [225, 225, 225]
+
+        for _ in range(int(rng.integers(1, 7))):
             for _attempt in range(10):
-                x1 = int(rng.integers(4, hw - int(40 * sc)))
-                y1 = int(rng.integers(4, hw - int(40 * sc)))
-                w = int(rng.integers(int(20 * sc), int(34 * sc)))
-                h = int(rng.integers(int(20 * sc), int(34 * sc)))
-                if all(x1 + w < px or px + pw < x1 or y1 + h < py
-                       or py + ph < y1 for px, py, pw, ph in placed):
+                w = int(rng.integers(int(12 * sc), int(34 * sc)))
+                h = int(rng.integers(int(12 * sc), int(34 * sc)))
+                x1 = int(rng.integers(2, hw - w - 2))
+                y1 = int(rng.integers(2, hw - h - 2))
+                # allow crowding, just not near-total occlusion
+                if overlap_frac(x1, y1, w, h) < 0.45:
                     break
             else:
                 continue
             placed.append((x1, y1, w, h))
-            cls = "red" if rng.uniform() < 0.5 else "green"
-            img[y1:y1 + h, x1:x1 + w] = (
-                [220, 30, 30] if cls == "red" else [30, 220, 30])
+            cls = names[int(rng.integers(len(names)))]
+            img[y1:y1 + h, x1:x1 + w] = CLASS_COLORS[cls]
             entries.append(f"{cls},{x1},{y1},{x1 + w},{y1 + h}")
         name = f"im{i}.jpg"
         Image.fromarray(img).save(os.path.join(img_dir, name), quality=95)
@@ -70,7 +99,7 @@ def make_dataset(root, n=N_IMAGES, hw=HW):
     with open(os.path.join(root, "labels.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(os.path.join(root, "classes.txt"), "w") as f:
-        f.write("red\ngreen\n")
+        f.write("\n".join(names) + "\n")
     with open(os.path.join(root, "anchors.txt"), "w") as f:
         base = [6, 8, 10, 12, 16, 20, 24, 28, 32]
         asc = SIZE / 64.0  # anchors follow the network input size
