@@ -109,3 +109,59 @@ class TestFusedBackbonePath:
         for a, b in zip(jax.tree_util.tree_leaves((r1, m1)),
                         jax.tree_util.tree_leaves((r2, m2))):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestFusedAutoMode:
+    """``fused_dw_eval="auto"``: the Pallas kernel only on its measured win
+    region — the large-spatial/small-C stride-1 3x3 stem block — XLA keeps
+    every other B0 shape (tools/bench_dwconv_kernel.py)."""
+
+    def test_auto_predicate_selects_only_the_stem_block_shape(self):
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import MBConvBlock
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        blocks = default_blocks_args()
+        # B0 @512: block-arg dw-input spatials after the stem /2 and each
+        # stride-2 block
+        hw_in = [256, 256, 128, 64, 32, 32, 16]
+        expected = [True, False, False, False, False, False, False]
+        for args, hw, want in zip(blocks, hw_in, expected):
+            blk = MBConvBlock(args._replace(num_repeat=1),
+                              fused_dw_eval="auto")
+            filters = args.input_filters * args.expand_ratio
+            x = jax.ShapeDtypeStruct((1, hw, hw, filters), jnp.float32)
+            assert blk._fused_dw(x, filters) is want, (args, hw)
+
+    def test_auto_is_off_below_the_win_spatial(self):
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import MBConvBlock
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        args = default_blocks_args()[0]._replace(num_repeat=1)
+        blk = MBConvBlock(args, fused_dw_eval="auto")
+        x = jax.ShapeDtypeStruct((1, 128, 128, 32), jnp.float32)
+        assert blk._fused_dw(x, 32) is False
+
+    def test_auto_matches_plain_backbone(self, rng):
+        """Numerics: an auto backbone at a sub-threshold size runs the XLA
+        path everywhere and must match the plain backbone exactly."""
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import BackboneModel
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        kwargs = dict(
+            blocks_args=tuple(default_blocks_args()[:2]),
+            width_coefficient=0.5, depth_coefficient=0.5,
+        )
+        plain = BackboneModel(**kwargs)
+        auto = BackboneModel(**kwargs, fused_dw_eval="auto")
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+        v = plain.init(jax.random.key(0), x, False)
+        ref = plain.apply(v, x, False)
+        out = auto.apply(v, x, False)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))

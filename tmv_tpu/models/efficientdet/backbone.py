@@ -191,13 +191,24 @@ class MBConvBlock(nn.Module):
     ``fused_dw_eval=True`` routes the eval-mode depthwise+BN+swish through
     the fused Pallas kernel (`kernels/dwconv_pallas.py`) — same variable
     tree (explicit names pin the layout), TPU-only, inference only.
+    ``fused_dw_eval="auto"`` uses the kernel only on its measured win
+    region (tools/bench_dwconv_kernel.py: XLA wins every B0 dw shape
+    except the large-spatial/small-C stride-1 3x3 stem block).
     """
 
     block_args: EfficientDetBlockArgs
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
-    fused_dw_eval: bool = False
+    fused_dw_eval: Any = False
+
+    def _fused_dw(self, x, filters: int) -> bool:
+        if self.fused_dw_eval == "auto":
+            args = self.block_args
+            return (x.shape[1] >= 256 and filters <= 64
+                    and args.kernel_size == 3
+                    and tuple(args.strides)[0] == 1)
+        return bool(self.fused_dw_eval)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -244,7 +255,7 @@ class MBConvBlock(nn.Module):
             x = nn.swish(_static_int8_site(
                 self, f"Conv_{ci}", x, kshape, tuple(args.strides), bnv,
                 self.bn_epsilon, groups=filters).astype(self.dtype))
-        elif self.fused_dw_eval and not train:
+        elif self._fused_dw(x, filters) and not train:
             from tmv_tpu.kernels.dwconv_pallas import fused_dw_bn_swish
 
             kernel = _DWKernelParams(args.kernel_size, filters,
@@ -296,7 +307,7 @@ class BackboneModel(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
-    fused_dw_eval: bool = False
+    fused_dw_eval: Any = False
     remat: bool = False
     stem_s2d: bool = False
 
