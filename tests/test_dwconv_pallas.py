@@ -165,3 +165,39 @@ class TestFusedAutoMode:
         out = auto.apply(v, x, False)
         for a, b in zip(ref, out):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestFusedDwResolution:
+    """``net._resolve_fused_dw``: "auto" is the shipped default, active only
+    on TPU, with a ``TMV_FUSED_DW`` kill switch (NMS-backend convention)."""
+
+    def test_auto_resolves_off_on_cpu(self, monkeypatch):
+        monkeypatch.delenv("TMV_FUSED_DW", raising=False)
+        from tmv_tpu.models.efficientdet.net import _resolve_fused_dw
+        # the test mesh is CPU, so the default must come back disabled
+        assert _resolve_fused_dw("auto") is False
+
+    def test_env_kill_switch(self, monkeypatch):
+        from tmv_tpu.models.efficientdet.net import _resolve_fused_dw
+        monkeypatch.setenv("TMV_FUSED_DW", "off")
+        assert _resolve_fused_dw("auto") is False
+        assert _resolve_fused_dw(True) is False
+        monkeypatch.setenv("TMV_FUSED_DW", "on")
+        assert _resolve_fused_dw(False) is True
+        monkeypatch.setenv("TMV_FUSED_DW", "auto")
+        assert _resolve_fused_dw(False) is False  # CPU → auto disables
+
+    def test_explicit_config_passthrough(self, monkeypatch):
+        monkeypatch.delenv("TMV_FUSED_DW", raising=False)
+        from tmv_tpu.models.efficientdet.net import _resolve_fused_dw
+        assert _resolve_fused_dw(True) is True
+        assert _resolve_fused_dw(False) is False
+
+    def test_net_default_is_auto(self):
+        """The net passes cfg.fused_dw_eval through the resolver with an
+        "auto" default — pin the config read so a revert is caught."""
+        import inspect
+
+        from tmv_tpu.models.efficientdet import net
+        src = inspect.getsource(net.EfficientDetNet)
+        assert '_resolve_fused_dw(cfg.get("fused_dw_eval", "auto"))' in src

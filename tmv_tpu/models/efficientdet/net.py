@@ -6,6 +6,7 @@ per-level ``BoxLoss·50 + FocalLoss`` normalized by Σpositives+1; train step
 clips global grad norm at 10).
 """
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -17,6 +18,22 @@ from tmv_tpu.models.efficientdet.bifpn import BiFPN, ResampleFeatureMap
 from tmv_tpu.models.efficientdet.config import default_blocks_args
 from tmv_tpu.models.efficientdet.heads import BoxNet, ClassNet
 from tmv_tpu.ops.losses import box_loss, focal_loss, l2_regularization
+
+
+def _resolve_fused_dw(value):
+    """Resolve the ``fused_dw_eval`` config to a concrete module setting.
+
+    Mirrors the NMS-backend convention (``ops/nms.py``): the Pallas
+    depthwise kernel is used on its measured win region by default on TPU
+    (``"auto"``, +5% full-model D0@512 eval — tools/probe_fused_auto.py)
+    and never elsewhere; ``TMV_FUSED_DW=off|on|auto`` overrides.
+    """
+    env = os.environ.get("TMV_FUSED_DW", "").lower()
+    if env:
+        value = {"off": False, "on": True}.get(env, env)
+    if value == "auto" and jax.default_backend() != "tpu":
+        return False  # interpret-mode Pallas on CPU is never a win
+    return value
 
 
 class EfficientDetNet(nn.Module):
@@ -43,7 +60,7 @@ class EfficientDetNet(nn.Module):
             depth_coefficient=cfg.depth_coefficient,
             depth_divisor=cfg.depth_divisor,
             bn_momentum=bn_m, bn_epsilon=bn_e, dtype=self.dtype,
-            fused_dw_eval=cfg.get("fused_dw_eval", False),
+            fused_dw_eval=_resolve_fused_dw(cfg.get("fused_dw_eval", "auto")),
             remat=remat,
             stem_s2d=cfg.get("stem_s2d", False),
             name="backbone",

@@ -33,7 +33,12 @@ def main():
     root = tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
     make_dataset(root)
     ckpt = os.path.join(root, "weights")
-    run_cli("tmv_tpu.cli.train_efficientdet", [
+    # TMV_CMAP_DEVAUG=1: on-device augmentation + epoch-persistent staging
+    # cache — the production fast-feed path; makes full-res (512) artifact
+    # regeneration tractable through the 36 MB/s dev tunnel
+    extra = (["--deviceAug", "--cacheDir", os.path.join(root, "cache")]
+             if os.environ.get("TMV_CMAP_DEVAUG") else [])
+    run_cli("tmv_tpu.cli.train_efficientdet", extra + [
         "--modelName", "efficientdet-d0",
         "--classesFile", os.path.join(root, "classes.txt"),
         "--trainData", os.path.join(root, "labels.txt"),
