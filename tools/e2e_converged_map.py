@@ -121,6 +121,9 @@ def run_cli(module, argv):
 
 def main():
     t0 = time.time()
+    # TMV_CMAP_VERSION=v4 trains/evals YOLOv4 (CIoU loss, DIoU-NMS) and
+    # writes converged_map_v4.json; default stays the v3 artifact
+    version = os.environ.get("TMV_CMAP_VERSION", "v3")
     root = tempfile.mkdtemp(prefix="tmv_converged_map_")
     make_dataset(root)
     ckpt = os.path.join(root, "weights")
@@ -130,7 +133,7 @@ def main():
         "--imageSize", str(SIZE),
     ]
     run_cli("tmv_tpu.cli.train_yolo", base + [
-        "--version", "v3",
+        "--version", version,
         "--trainData", os.path.join(root, "labels.txt"),
         "--trainImagePath", os.path.join(root, "imgs"),
         "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
@@ -141,7 +144,8 @@ def main():
 
     result = {"n_images": N_IMAGES,
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
-              "image_size": SIZE}
+              "image_size": SIZE,
+              "model": f"yolo_{version}"}
     # stability: evaluate twice with different eval batch compositions
     for mode, variant, key, extra in (
         ("batch", "reference", "mAP_ref_per_batch", []),
@@ -155,7 +159,7 @@ def main():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             run_cli("tmv_tpu.cli.eval_map", base + [
-                "--family", "yolo", "--version", "v3",
+                "--family", "yolo", "--version", version,
                 "--imagePath", os.path.join(root, "imgs"),
                 "--labelFile", os.path.join(root, "labels.txt"),
                 "--modelPath", ckpt,
@@ -169,7 +173,9 @@ def main():
     # self-describing pass/fail so a failing run can't look green
     result["converged"] = bool(result["mAP_ref_global"] > 0.5
                                and result["mAP_coco_global"] > 0.15)
-    with open(os.path.join(ROOT, "converged_map.json"), "w") as f:
+    out_name = ("converged_map.json" if version == "v3"
+                else f"converged_map_{version}.json")
+    with open(os.path.join(ROOT, out_name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     assert result["mAP_ref_global"] > 0.5, "did not converge"
