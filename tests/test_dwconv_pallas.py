@@ -201,3 +201,48 @@ class TestFusedDwResolution:
         from tmv_tpu.models.efficientdet import net
         src = inspect.getsource(net.EfficientDetNet)
         assert '_resolve_fused_dw(cfg.get("fused_dw_eval", "auto"))' in src
+
+
+@pytest.mark.slow
+class TestFusedPredictPath:
+    """``TMV_FUSED_DW=on`` composes with the full serving predict path
+    (net -> anchor decode -> background filter -> DIoU-NMS): detections
+    must match the default path (interpret-mode kernel on CPU).
+
+    A fresh predictor is built per env setting — the env is read at trace
+    time, so reusing one jitted predictor would silently test the cached
+    executable twice."""
+
+    def test_predict_path_with_forced_kernel(self, rng, monkeypatch):
+        import jax
+
+        from tmv_tpu.models.efficientdet import (
+            EfficientDetNet, get_efficientdet_config,
+        )
+        from tmv_tpu.models.efficientdet.harness import (
+            make_efficientdet_predict,
+        )
+        from tmv_tpu.ops.anchors import Anchors
+
+        size = 64
+        cfg = get_efficientdet_config("efficientdet-d0")
+        cfg.image_size = size
+        cfg.levels_size = [size]
+        for _ in range(cfg.max_level):
+            cfg.levels_size.append((cfg.levels_size[-1] + 1) // 2)
+        anchors = Anchors(cfg.min_level, cfg.max_level, (size, size),
+                          cfg.num_scales, cfg.aspect_ratios,
+                          cfg.anchor_scale)
+        model = EfficientDetNet(config=cfg)
+        x = jnp.asarray(
+            rng.uniform(size=(1, size, size, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), jnp.zeros((1, size, size, 3)),
+                       train=False)
+        monkeypatch.delenv("TMV_FUSED_DW", raising=False)
+        ref = make_efficientdet_predict(model, anchors, size)(v, x)
+        monkeypatch.setenv("TMV_FUSED_DW", "on")
+        out = make_efficientdet_predict(model, anchors, size)(v, x)
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
