@@ -250,6 +250,34 @@ class TestStaticInt8EfficientNet:
             rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
             assert rel < 0.08, rel
 
+    def test_fused_dw_mode_still_calibrates(self, rng):
+        """Regression (r4, seen live at D0@512): with the fused-depthwise
+        eval path active, calibration must still fall through to the stock
+        XLA branch and sow every dw absmax — the fused branch used to
+        swallow "calib" mode, leaving int8_static to fail on the missing
+        quant variable (`in_absmax_Conv_*`)."""
+        from tmv_tpu.models.efficientdet.backbone import BackboneModel
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        plain = self._backbone()
+        fused = BackboneModel(blocks_args=tuple(default_blocks_args()[:3]),
+                              fused_dw_eval=True)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        v = plain.init(jax.random.key(0), x, train=False)
+        ref_absmax = calibrate_model(plain, v, [x], train=False)
+        absmax = calibrate_model(fused, v, [x], train=False)
+        ref_taps = jax.tree_util.tree_leaves_with_path(ref_absmax)
+        taps = jax.tree_util.tree_leaves_with_path(absmax)
+        assert [k for k, _ in taps] == [k for k, _ in ref_taps]
+        qv = prepare_static_int8_variables(v, absmax)
+        with quantized("int8_static"):
+            out = fused.apply(qv, x, train=False)  # raised before the fix
+        for o in out:
+            assert np.isfinite(np.asarray(o)).all()
+
     def test_separable_conv_sites(self, rng):
         """BiFPN/head SeparableConvs quantize themselves (depthwise +
         pointwise sites, level-shared scales); the head ``predict`` conv

@@ -255,7 +255,12 @@ class MBConvBlock(nn.Module):
             x = nn.swish(_static_int8_site(
                 self, f"Conv_{ci}", x, kshape, tuple(args.strides), bnv,
                 self.bn_epsilon, groups=filters).astype(self.dtype))
-        elif self._fused_dw(x, filters) and not train:
+        elif self._fused_dw(x, filters) and not train and mode == "off":
+            # mode guard: in "calib" this branch would silently skip the
+            # absmax sow and the later int8_static apply would fail on the
+            # missing quant variable (seen live at 512, where the auto
+            # predicate first engages); any quant mode falls through to
+            # the stock path, which records calibration correctly
             from tmv_tpu.kernels.dwconv_pallas import fused_dw_bn_swish
 
             kernel = _DWKernelParams(args.kernel_size, filters,
