@@ -30,24 +30,30 @@ STEPS_PER_EPOCH = int(os.environ.get("TMV_CMAP_STEPS", "100"))
 
 def main():
     t0 = time.time()
-    root = tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
-    make_dataset(root)
+    # TMV_CMAP_RESUME_DIR=<prior run root>: skip dataset+train and rerun
+    # the eval stage against the saved checkpoint (recovery path for an
+    # eval-stage crash; the artifact records it)
+    resume = os.environ.get("TMV_CMAP_RESUME_DIR")
+    root = resume or tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
+    if not resume:
+        make_dataset(root)
     ckpt = os.path.join(root, "weights")
     # TMV_CMAP_DEVAUG=1: on-device augmentation + epoch-persistent staging
     # cache — the production fast-feed path; makes full-res (512) artifact
     # regeneration tractable through the 36 MB/s dev tunnel
     extra = (["--deviceAug", "--cacheDir", os.path.join(root, "cache")]
              if os.environ.get("TMV_CMAP_DEVAUG") else [])
-    run_cli("tmv_tpu.cli.train_efficientdet", extra + [
-        "--modelName", "efficientdet-d0",
-        "--classesFile", os.path.join(root, "classes.txt"),
-        "--trainData", os.path.join(root, "labels.txt"),
-        "--trainImagePath", os.path.join(root, "imgs"),
-        "--imageSize", str(SIZE),
-        "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
-        "--epochs", str(EPOCHS), "--modelPath", ckpt,
-        "--earlyStopPatience", "0",
-    ])
+    if not resume:
+        run_cli("tmv_tpu.cli.train_efficientdet", extra + [
+            "--modelName", "efficientdet-d0",
+            "--classesFile", os.path.join(root, "classes.txt"),
+            "--trainData", os.path.join(root, "labels.txt"),
+            "--trainImagePath", os.path.join(root, "imgs"),
+            "--imageSize", str(SIZE),
+            "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
+            "--epochs", str(EPOCHS), "--modelPath", ckpt,
+            "--earlyStopPatience", "0",
+        ])
 
     result = {"n_images": N_IMAGES,
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
@@ -78,6 +84,8 @@ def main():
         result[key] = round(out["mAP"], 4)
 
     result["wall_sec"] = round(time.time() - t0, 1)
+    if resume:
+        result["resumed_eval_only"] = True
     # the artifact self-describes whether it passed the convergence bar, so
     # a failing run can never masquerade as a green one (round-3 weak #1)
     result["converged"] = bool(result["mAP_ref_global"] > 0.5)
