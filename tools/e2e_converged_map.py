@@ -124,23 +124,36 @@ def main():
     # TMV_CMAP_VERSION=v4 trains/evals YOLOv4 (CIoU loss, DIoU-NMS) and
     # writes converged_map_v4.json; default stays the v3 artifact
     version = os.environ.get("TMV_CMAP_VERSION", "v3")
-    root = tempfile.mkdtemp(prefix="tmv_converged_map_")
-    make_dataset(root)
-    ckpt = os.path.join(root, "weights")
+    # TMV_CMAP_KEEP=dir persists the dataset + trained weights;
+    # TMV_CMAP_RESUME_DIR=<prior KEEP root> skips dataset+train and
+    # re-runs only the eval stage (e.g. re-scoring int8 after a
+    # calibration change without the 4000-step retrain) — same
+    # convention as e2e_converged_map_ed.py
+    resume = os.environ.get("TMV_CMAP_RESUME_DIR")
+    keep = os.environ.get("TMV_CMAP_KEEP", "")
+    root = resume or keep or tempfile.mkdtemp(prefix="tmv_converged_map_")
+    if keep and not resume:
+        os.makedirs(keep, exist_ok=True)
+    if not resume:
+        make_dataset(root)
+    ckpt = os.path.join(root, f"weights_{version}")
+    if resume and not os.path.isdir(ckpt):
+        ckpt = os.path.join(root, "weights")  # pre-r4 KEEP layout
     base = [
         "--classesFile", os.path.join(root, "classes.txt"),
         "--anchorsFile", os.path.join(root, "anchors.txt"),
         "--imageSize", str(SIZE),
     ]
-    run_cli("tmv_tpu.cli.train_yolo", base + [
-        "--version", version,
-        "--trainData", os.path.join(root, "labels.txt"),
-        "--trainImagePath", os.path.join(root, "imgs"),
-        "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
-        "--epochs", str(EPOCHS),
-        "--lr", LR, "--warmupSteps", "0", "--modelPath", ckpt,
-        "--earlyStopPatience", "0",
-    ])
+    if not resume:
+        run_cli("tmv_tpu.cli.train_yolo", base + [
+            "--version", version,
+            "--trainData", os.path.join(root, "labels.txt"),
+            "--trainImagePath", os.path.join(root, "imgs"),
+            "--batchSize", "16", "--stepsPerEpoch", str(STEPS_PER_EPOCH),
+            "--epochs", str(EPOCHS),
+            "--lr", LR, "--warmupSteps", "0", "--modelPath", ckpt,
+            "--earlyStopPatience", "0",
+        ])
 
     result = {"n_images": N_IMAGES,
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
@@ -170,6 +183,8 @@ def main():
         result[key] = round(out["mAP"], 4)
 
     result["wall_sec"] = round(time.time() - t0, 1)
+    if resume:
+        result["resumed_eval_only"] = True
     # self-describing pass/fail so a failing run can't look green
     result["converged"] = bool(result["mAP_ref_global"] > 0.5
                                and result["mAP_coco_global"] > 0.15)
