@@ -126,6 +126,74 @@ class TestStaticInt8:
                / (np.max(np.abs(np.asarray(ref))) + 1e-9))
         assert rel < 0.06, rel
 
+    def test_margin_scales_activation_absmax_only(self, rng):
+        """margin multiplies every calibrated in_absmax leaf and leaves
+        the pre-quantized weights untouched (the outlier-clipping dial
+        behind --int8Margin; tools/probe_int8_v4_drop.py)."""
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._stack()
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 4)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        absmax = calibrate_model(model, v, [x], train=False)
+        q1 = prepare_static_int8_variables(v, absmax)["quant"]
+        qm = prepare_static_int8_variables(v, absmax, margin=0.5)["quant"]
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(q1))
+        flatm = dict(jax.tree_util.tree_leaves_with_path(qm))
+        n_act = 0
+        for path, leaf in flat1.items():
+            name = path[-1].key
+            if name.startswith("in_absmax"):
+                np.testing.assert_allclose(
+                    np.asarray(flatm[path]), 0.5 * np.asarray(leaf),
+                    rtol=1e-6)
+                n_act += 1
+            else:
+                np.testing.assert_array_equal(np.asarray(flatm[path]),
+                                              np.asarray(leaf))
+        assert n_act == 3
+
+    def test_per_channel_beats_per_tensor_on_skewed_input(self, rng):
+        """Per-input-channel activation scales (--int8PerChannel) recover
+        accuracy when one channel's range dwarfs the others — the regime
+        where a single per-tensor scale starves every other channel of
+        int8 resolution (converged-Mish symptom; probe_int8_v4_drop)."""
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._stack()
+        x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+        x[..., 0] *= 200.0  # one outlier channel...
+        x = jnp.asarray(x)
+        v = model.init(jax.random.key(0), x, train=False)
+        # ...that carries no signal: the first conv ignores it, but a
+        # per-tensor activation scale is still set by it, squeezing the
+        # three signal channels into ±~0.6 int8 levels
+        k = np.array(
+            v["params"]["ConvBN_0"]["DarknetConv_0"]["Conv_0"]["kernel"])
+        k[:, :, 0, :] = 0.0
+        v["params"]["ConvBN_0"]["DarknetConv_0"]["Conv_0"]["kernel"] = (
+            jnp.asarray(k))
+        absmax = calibrate_model(model, v, [x], train=False)
+        ref = np.asarray(model.apply(v, x, train=False))
+
+        def rel_err(per_channel):
+            qv = prepare_static_int8_variables(v, absmax,
+                                               per_channel=per_channel)
+            with quantized("int8_static"):
+                out = model.apply(qv, x, train=False)
+            return (np.max(np.abs(np.asarray(out) - ref))
+                    / (np.max(np.abs(ref)) + 1e-9))
+
+        pt, pc = rel_err(False), rel_err(True)
+        # the skewed first conv input is where per-tensor loses its
+        # resolution; per-channel must be strictly and materially better
+        assert pc < pt * 0.5, (pt, pc)
+        assert pc < 0.06, pc
+
     def test_no_runtime_statistics_passes(self, rng):
         """The static trace must contain no reduction over activations:
         the only reduce ops allowed are the conv itself (and none over
@@ -241,6 +309,28 @@ class TestStaticInt8EfficientNet:
         n_taps = len(jax.tree_util.tree_leaves(absmax))
         assert n_taps >= 7, n_taps
         qv = prepare_static_int8_variables(v, absmax)
+        ref = model.apply(v, x, train=False)
+        with quantized("int8_static"):
+            out = model.apply(qv, x, train=False)
+        for a, b in zip(ref, out):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(b).all()
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.08, rel
+
+    def test_per_channel_through_depthwise_blocks(self, rng):
+        """per_channel=True folds the channel scales through the grouped
+        (depthwise) kernels of the real MBConv path — the I=1 kernel axis
+        maps each output channel to its own input scale."""
+        from tmv_tpu.quant import (
+            calibrate_model, prepare_static_int8_variables,
+        )
+
+        model = self._backbone()
+        x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x, train=False)
+        absmax = calibrate_model(model, v, [x], train=False)
+        qv = prepare_static_int8_variables(v, absmax, per_channel=True)
         ref = model.apply(v, x, train=False)
         with quantized("int8_static"):
             out = model.apply(qv, x, train=False)

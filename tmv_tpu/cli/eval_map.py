@@ -70,6 +70,17 @@ def parse_args():
                         "16 eval images, then score the int8 predictor — "
                         "measures the quantization mAP delta (yolo: whole "
                         "net; efficientdet: backbone convs)")
+    p.add_argument("--int8Margin", type=float, default=1.0,
+                   help="multiplier on the calibrated per-site activation "
+                        "absmax (<1 clips outlier activations — converged "
+                        "Mish nets can grow absmax far past the bulk of "
+                        "the distribution, sinking per-tensor int8; see "
+                        "tools/probe_int8_v4_drop.py)")
+    p.add_argument("--int8PerChannel", action="store_true",
+                   help="per-input-channel activation scales (folded "
+                        "into the pre-quantized weights — same runtime "
+                        "cost, finer resolution; robust to channel-skewed "
+                        "activations)")
     args = p.parse_args()
     if args.cacheDir and args.family != "yolo":
         p.error("--cacheDir is yolo-family only (the efficientdet eval "
@@ -159,7 +170,8 @@ def eval_yolo(args):
               f"{sum(len(c) for c in calib)} images...")
         variables = prepare_static_int8_variables(
             variables, calibrate_model(model, variables, calib,
-                                       train=False))
+                                       train=False),
+            margin=args.int8Margin, per_channel=args.int8PerChannel)
         quant = "int8_static"
     kwargs = dict(
         confidence_thresh=args.confidenceThresh,
@@ -255,7 +267,8 @@ def eval_efficientdet(args):
               f"{sum(len(c) for c in calib)} images...")
         variables = prepare_static_int8_variables(
             variables, calibrate_model(model, variables, calib,
-                                       train=False))
+                                       train=False),
+            margin=args.int8Margin, per_channel=args.int8PerChannel)
         quant = "int8_static"
     collect = make_efficientdet_pred_gt(model, anchors, quant=quant)
 
@@ -283,6 +296,8 @@ def main():
     result.update({"family": args.family, "mode": args.mode,
                    "variant": args.variant,
                    "quant": "int8_static" if args.int8Static else "off"})
+    if args.int8Static and args.int8Margin != 1.0:
+        result["int8_margin"] = args.int8Margin
     print(json.dumps(result))
 
 

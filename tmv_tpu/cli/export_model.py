@@ -48,6 +48,12 @@ def parse_args():
                         "weights, export the int8 program (int8 is "
                         "portable StableHLO — runs on every --platforms "
                         "target)")
+    p.add_argument("--int8Margin", type=float, default=1.0,
+                   help="multiplier on the calibrated activation absmax "
+                        "(<1 clips outliers; see eval_map --int8Margin)")
+    p.add_argument("--int8PerChannel", action="store_true",
+                   help="per-input-channel activation scales (see "
+                        "eval_map --int8PerChannel)")
     args = p.parse_args()
     if args.family == "yolo" and not args.anchorsFile:
         p.error("--anchorsFile is required for --family yolo")
@@ -98,7 +104,8 @@ def main():
 
         print(f"calibrating int8 scales from {args.int8Static}...")
         variables = calibrate_directory(model, variables, args.int8Static,
-                                        image_wh)
+                                        image_wh, margin=args.int8Margin,
+                                        per_channel=args.int8PerChannel)
         quant = "int8_static"
 
     # nms_backend='xla' is part of the closure: the exported program must
@@ -174,7 +181,8 @@ def _export_efficientdet(args, classes_num, dtype):
         print(f"calibrating int8 scales from {args.int8Static}...")
         variables = calibrate_directory(
             model, variables, args.int8Static,
-            (cfg.image_size, cfg.image_size))
+            (cfg.image_size, cfg.image_size), margin=args.int8Margin,
+            per_channel=args.int8PerChannel)
         quant = "int8_static"
     predict = make_efficientdet_predict(
         model, anchors, cfg.image_size, quant=quant,

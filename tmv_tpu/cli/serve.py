@@ -56,6 +56,12 @@ def parse_args():
                         "scales over the images in CALIB_DIR, pre-quantize "
                         "weights, serve the int8 predictor (measured "
                         "1.46x bf16 on YOLOv4 @640, PARITY §6)")
+    p.add_argument("--int8Margin", type=float, default=1.0,
+                   help="multiplier on the calibrated activation absmax "
+                        "(<1 clips outliers; see eval_map --int8Margin)")
+    p.add_argument("--int8PerChannel", action="store_true",
+                   help="per-input-channel activation scales (see "
+                        "eval_map --int8PerChannel)")
     p.add_argument("--artifact", default=None,
                    help="serve a .tmvx export (cli/export_model.py) — "
                         "skips model build + checkpoint load")
@@ -137,7 +143,8 @@ def serve_artifact(args):
     run_server(service, args.host, args.port)
 
 
-def _calibrate(model, variables, calib_dir, image_wh, max_images=32):
+def _calibrate(model, variables, calib_dir, image_wh, max_images=32,
+               margin=1.0, per_channel=False):
     """Calibrate static-int8 scales over a directory of images
     (`tmv_tpu/quant/static.py::calibrate_directory`)."""
     from tmv_tpu.quant.static import calibrate_directory
@@ -145,7 +152,8 @@ def _calibrate(model, variables, calib_dir, image_wh, max_images=32):
     print(f"calibrating int8 scales from {calib_dir}...")
     try:
         qv = calibrate_directory(model, variables, calib_dir, image_wh,
-                                 max_images)
+                                 max_images, margin=margin,
+                                 per_channel=per_channel)
     except ValueError as e:
         raise SystemExit(f"--int8Static: {e}")
     print("int8 calibration done")
@@ -274,7 +282,8 @@ def main():
 
         if args.int8Static:
             variables = _calibrate(model, variables, args.int8Static,
-                                   image_wh)
+                                   image_wh, margin=args.int8Margin,
+                                   per_channel=args.int8PerChannel)
         batched = make_yolo_predict_batched(
             model, image_wh, anchors, classes_num,
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,
@@ -299,7 +308,8 @@ def main():
                  else "int8" if args.int8 else "off")
         if args.int8Static:
             variables = _calibrate(model, variables, args.int8Static,
-                                   image_wh)
+                                   image_wh, margin=args.int8Margin,
+                                   per_channel=args.int8PerChannel)
         predict_fn = make_yolo_predict(
             model, image_wh, anchors, classes_num,
             confidence_thresh=0.5, scores_thresh=0.2, iou_thresh=0.5,

@@ -165,8 +165,11 @@ class ConvBN(nn.Module):
 
         if mode == "calib" and not train:
             # calibration: float forward + per-site input-absmax tap
+            # (per-channel vector; per-tensor mode collapses it at
+            # prepare time — see quant/static.py::sow_calib)
             self.sow("quant_stats", "in_absmax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     jnp.max(jnp.abs(x.astype(jnp.float32)),
+                             axis=(0, 1, 2)),
                      init_fn=lambda: jnp.zeros(()),
                      reduce_fn=jnp.maximum)
 

@@ -99,7 +99,8 @@ def _set(tree: Dict, path, value):
 
 
 def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
-                                  margin: float = 1.0) -> Dict:
+                                  margin: float = 1.0,
+                                  per_channel: bool = False) -> Dict:
     """Bake calibrated scales + pre-quantized weights into a ``quant``
     collection alongside the existing variables.
 
@@ -108,6 +109,14 @@ def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
         absmax_tree: output of :func:`calibrate_absmax`.
         margin: multiplier on the calibrated absmax (headroom for inputs
             outside the calibration set; 1.0 = exact calibration max).
+        per_channel: quantize activations with a per-input-channel scale
+            instead of one per-tensor scale.  The channel scales are
+            folded into the pre-quantized weights along the kernel's
+            input axis, so the conv stays a pure int8×int8→int32 MXU op
+            and the runtime quantize is still one fused elementwise
+            multiply (by a broadcast vector instead of a scalar) — same
+            HBM traffic, strictly finer activation resolution.  Robust
+            to channel-skewed activation ranges (converged Mish nets).
 
     Returns a NEW variables dict with the ``quant`` collection added;
     ``params``/``batch_stats`` are shared, not copied.
@@ -116,10 +125,12 @@ def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
     quant: Dict = {}
     for path, absmax in _walk(absmax_tree):
         # sow leaf path: (<module>..., "in_absmax[_<ConvName>]"); with
-        # reduce_fn the leaf is the scalar itself (no tuple wrapper on
-        # newer flax, a 1-tuple on older — normalize).
+        # reduce_fn the leaf is the array itself (no tuple wrapper on
+        # newer flax, a 1-tuple on older — normalize).  The sow records
+        # a per-input-channel absmax vector (scalar in pre-r4 trees).
         if isinstance(absmax, (tuple, list)):
             absmax = absmax[0]
+        absmax = np.asarray(absmax, np.float32)
         site, leaf = path[:-1], path[-1]
         if leaf == "in_absmax":
             # single-conv module (ConvBN): kernel under its DarknetConv
@@ -132,14 +143,37 @@ def prepare_static_int8_variables(variables: Dict, absmax_tree: Dict,
             kernel_path = site + (conv_name, "kernel")
             suffix = "_" + conv_name
         kernel = np.asarray(_get(params, kernel_path))
-        w_absmax = np.maximum(
-            np.max(np.abs(kernel), axis=(0, 1, 2)), 1e-12
-        ).astype(np.float32)
-        kernel_q = np.clip(
-            np.round(kernel * (127.0 / w_absmax)), -127, 127
-        ).astype(np.int8)
-        _set(quant, site + ("in_absmax" + suffix,),
-             jnp.float32(max(float(absmax) * margin, 1e-6)))
+        if per_channel and absmax.ndim == 1:
+            # fold the per-channel activation scale a_c into the kernel's
+            # input axis (grouped-conv aware: kernel[..., i, o] consumes
+            # input channel (o // (O//g))*I + i), then per-output quant
+            a_vec = np.maximum(absmax * margin, 1e-6).astype(np.float32)
+            h, w, i_dim, o_dim = kernel.shape
+            groups = a_vec.size // i_dim
+            if a_vec.size % i_dim or o_dim % max(groups, 1):
+                raise ValueError(
+                    f"kernel {kernel.shape} does not divide the "
+                    f"{a_vec.size}-channel activation at {'/'.join(path)}")
+            ch = ((np.arange(o_dim)[None, :] // (o_dim // groups)) * i_dim
+                  + np.arange(i_dim)[:, None])              # (I, O)
+            w_scaled = kernel * a_vec[ch][None, None]
+            w_absmax = np.maximum(
+                np.max(np.abs(w_scaled), axis=(0, 1, 2)), 1e-12
+            ).astype(np.float32)
+            kernel_q = np.clip(
+                np.round(w_scaled * (127.0 / w_absmax)), -127, 127
+            ).astype(np.int8)
+            in_leaf = jnp.asarray(a_vec)
+        else:
+            w_absmax = np.maximum(
+                np.max(np.abs(kernel), axis=(0, 1, 2)), 1e-12
+            ).astype(np.float32)
+            kernel_q = np.clip(
+                np.round(kernel * (127.0 / w_absmax)), -127, 127
+            ).astype(np.int8)
+            in_leaf = jnp.float32(
+                max(float(absmax.max()) * margin, 1e-6))
+        _set(quant, site + ("in_absmax" + suffix,), in_leaf)
         _set(quant, site + ("kernel_q" + suffix,), jnp.asarray(kernel_q))
         _set(quant, site + ("w_absmax" + suffix,), jnp.asarray(w_absmax))
     out = dict(variables)
@@ -163,6 +197,12 @@ def static_int8_conv(
     The input quantize is a pure elementwise op (static scale — no
     data-dependent reduction), so XLA fuses it into the producing op's
     epilogue and the conv reads an int8 HBM buffer.
+
+    ``in_absmax`` is either a scalar (per-tensor activation scale) or a
+    per-input-channel vector; in the vector case the channel scales were
+    already folded into ``kernel_q``/``w_absmax`` at prepare time
+    (:func:`prepare_static_int8_variables` with ``per_channel=True``), so
+    the dequant is per-output-channel only.
     """
     xq = jnp.clip(
         jnp.round(x.astype(jnp.float32) * (127.0 / in_absmax)),
@@ -173,7 +213,10 @@ def static_int8_conv(
         xq, kernel_q, strides, padding, dimension_numbers=dn,
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32)
-    deq = (in_absmax / 127.0) * (w_absmax.astype(jnp.float32) / 127.0)
+    if jnp.ndim(in_absmax):
+        deq = w_absmax.astype(jnp.float32) / (127.0 * 127.0)
+    else:
+        deq = (in_absmax / 127.0) * (w_absmax.astype(jnp.float32) / 127.0)
     if out_scale is not None:
         deq = deq * out_scale.astype(jnp.float32)
     y = acc.astype(jnp.float32) * deq
@@ -183,11 +226,15 @@ def static_int8_conv(
 
 
 def calibrate_directory(model, variables: Dict, calib_dir: str, image_wh,
-                        max_images: int = 32) -> Dict:
+                        max_images: int = 32, margin: float = 1.0,
+                        per_channel: bool = False) -> Dict:
     """Calibrate static-int8 scales over a directory of images
     (letterboxed exactly like serving inputs) and return the variables
     with the baked ``quant`` collection.  Shared by ``serve --int8Static``
-    and ``export_model --int8Static``."""
+    and ``export_model --int8Static``.  ``margin`` multiplies the
+    calibrated absmax (<1 clips activation outliers — see
+    ``--int8Margin``); ``per_channel`` selects per-input-channel
+    activation scales (``--int8PerChannel``)."""
     import os
 
     from PIL import Image
@@ -206,7 +253,8 @@ def calibrate_directory(model, variables: Dict, calib_dir: str, image_wh,
             img, np.int32(image_wh), bg_color=(0, 0, 0))
         batches.append(jnp.asarray(boxed.astype(np.float32)[None] / 255.0))
     return prepare_static_int8_variables(
-        variables, calibrate_model(model, variables, batches, train=False))
+        variables, calibrate_model(model, variables, batches, train=False),
+        margin=margin, per_channel=per_channel)
 
 
 # --------------------------------------------------------------- flax sites
@@ -218,9 +266,13 @@ def sow_calib(mdl, name: str, x) -> None:
     """Tap the per-site conv-input absmax during a ``quantized("calib")``
     forward (consumed by :func:`prepare_static_int8_variables`).  The sow
     leaf ``in_absmax_<name>`` max-reduces over repeated calls, so modules
-    applied at several feature levels calibrate one shared scale."""
+    applied at several feature levels calibrate one shared scale.
+
+    Records a per-input-channel vector (max over batch+space); the
+    per-tensor mode collapses it with ``max()`` at prepare time, so the
+    superset costs nothing and enables ``per_channel=True``."""
     mdl.sow("quant_stats", f"in_absmax_{name}",
-            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2)),
             init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum)
 
 
