@@ -153,6 +153,9 @@ def main():
             "--epochs", str(EPOCHS),
             "--lr", LR, "--warmupSteps", "0", "--modelPath", ckpt,
             "--earlyStopPatience", "0",
+            # host staging is deterministic (CLAUDE.md): epochs 2+ serve
+            # from the uint8 memmap instead of re-decoding 256 JPEGs
+            "--cacheDir", os.path.join(root, f"cache_{version}"),
         ])
 
     result = {"n_images": N_IMAGES,
@@ -168,6 +171,12 @@ def main():
         # quantization accuracy delta: same eval through the int8 path
         ("global", "reference", "mAP_ref_global_int8_static",
          ["--int8Static"]),
+        # per-input-channel activation scales: the r4 fix for the
+        # converged-v4 per-tensor collapse (0.9041 -> 0.5471; outlier
+        # Mish activations dominate the per-tensor absmax —
+        # tools/probe_int8_v4_drop.py, tmv_tpu/quant/static.py)
+        ("global", "reference", "mAP_ref_global_int8_static_pc",
+         ["--int8Static", "--int8PerChannel"]),
     ):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
