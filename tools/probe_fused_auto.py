@@ -1,7 +1,17 @@
-"""A/B: fused_dw_eval="auto" (Pallas dw only on the 256-spatial stem-block
-shape) vs plain XLA, full EfficientDet-D0 @512 eval forward, slope method.
+"""A/B the fused_dw_eval="auto" routing vs plain XLA across batch sizes.
 
-Appends ``fused_auto_*`` keys to baseline_measured.json, win or lose.
+Round-4 lesson (VERDICT r4 weak #1): the auto predicate routed the Pallas
+stem kernel by shape alone, measured only at b32 — and lost 1.5x at the
+bench's b64.  This probe sweeps the full EfficientDet-D0 eval forward over
+b∈{1,8,32,64} (slope method) so the win region is pinned per batch, and
+writes a per-batch table into baseline_measured.json:
+
+    fused_auto_d0_eval_b{N}_base_ms / _auto_ms / _speedup
+
+plus the legacy single-batch keys for the largest swept batch.  Any batch
+whose speedup is < 1.0 while the auto predicate engages it is a routing
+bug — the table is the evidence the predicate's FUSED_DW_AUTO_MAX_BATCH
+gate must match.
 """
 
 import json
@@ -30,17 +40,13 @@ def slope_time(run, reps=3):
     return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
 
 
-def main(batch=32, size=512):
-    import jax
+def build_models(size):
     import jax.numpy as jnp
 
     from tmv_tpu.core.config import Config
     from tmv_tpu.models.efficientdet import (
         EfficientDetNet, get_efficientdet_config,
     )
-
-    rng = np.random.default_rng(0)
-    print(f"devices: {jax.devices()}  b{batch} @{size} bf16")
 
     cfg = get_efficientdet_config("efficientdet-d0")
     cfg.image_size = size
@@ -51,45 +57,76 @@ def main(batch=32, size=512):
     cfg2.fused_dw_eval = "auto"
     base = EfficientDetNet(config=cfg, dtype=jnp.bfloat16)
     auto = EfficientDetNet(config=cfg2, dtype=jnp.bfloat16)
+    return base, auto
 
-    xs = jnp.asarray(rng.uniform(size=(batch, size, size, 3))
-                     .astype(np.float32))
+
+def model_chain(model, variables, xs):
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=2)
+    def run(v, a, kk):
+        def body(i, carry):
+            boxes, classes = model.apply(v, carry, train=False)
+            s = sum(jnp.sum(o.astype(jnp.float32))
+                    for o in list(boxes) + list(classes))
+            return carry + (s * 1e-12).astype(carry.dtype)
+        o = jax.lax.fori_loop(0, kk, body, a)
+        return jnp.sum(o.astype(jnp.float32))
+    return lambda kk: np.asarray(run(variables, xs, kk))
+
+
+def main(batches=(1, 8, 32, 64), size=512):
+    import jax
+    import jax.numpy as jnp
+
+    from tmv_tpu.models.efficientdet.backbone import FUSED_DW_AUTO_MAX_BATCH
+
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}  b{list(batches)} @{size} bf16  "
+          f"auto max batch: {FUSED_DW_AUTO_MAX_BATCH}")
+
+    base, auto = build_models(size)
     variables = base.init(jax.random.key(0),
                           jnp.zeros((1, size, size, 3)), train=False)
 
-    def model_chain(model):
-        @partial(jax.jit, static_argnums=2)
-        def run(v, a, kk):
-            def body(i, carry):
-                boxes, classes = model.apply(v, carry, train=False)
-                s = sum(jnp.sum(o.astype(jnp.float32))
-                        for o in list(boxes) + list(classes))
-                return carry + (s * 1e-12).astype(carry.dtype)
-            o = jax.lax.fori_loop(0, kk, body, a)
-            return jnp.sum(o.astype(jnp.float32))
-        return lambda kk: np.asarray(run(variables, xs, kk))
+    out = {}
+    for batch in batches:
+        xs = jnp.asarray(rng.uniform(size=(batch, size, size, 3))
+                         .astype(np.float32))
+        t_b = slope_time(model_chain(base, variables, xs))
+        t_a = slope_time(model_chain(auto, variables, xs))
+        engaged = batch <= FUSED_DW_AUTO_MAX_BATCH
+        print(f"b{batch:3d}: base {t_b*1e3:8.3f} ms ({batch/t_b:7.0f} img/s)"
+              f"   auto {t_a*1e3:8.3f} ms ({batch/t_a:7.0f} img/s)"
+              f"   ({t_b/t_a:4.2f}x, kernel {'ON' if engaged else 'off'})")
+        out[f"fused_auto_d0_eval_b{batch}_base_ms"] = round(t_b * 1e3, 3)
+        out[f"fused_auto_d0_eval_b{batch}_auto_ms"] = round(t_a * 1e3, 3)
+        out[f"fused_auto_d0_eval_b{batch}_speedup"] = round(t_b / t_a, 3)
+        if engaged and t_b / t_a < 0.99:
+            print(f"  WARNING: auto engages the kernel at b{batch} but "
+                  f"loses {t_b/t_a:.2f}x — lower FUSED_DW_AUTO_MAX_BATCH")
 
-    t_b = slope_time(model_chain(base))
-    t_a = slope_time(model_chain(auto))
-    print(f"D0 eval: base {t_b*1e3:7.3f} ms ({batch/t_b:.0f} img/s)   "
-          f"auto {t_a*1e3:7.3f} ms ({batch/t_a:.0f} img/s)   "
-          f"({t_b/t_a:4.2f}x)")
+    # legacy single-batch keys = the largest swept batch (bench shape)
+    big = max(batches)
+    out["fused_auto_d0_eval_base_ms"] = out[f"fused_auto_d0_eval_b{big}_base_ms"]
+    out["fused_auto_d0_eval_auto_ms"] = out[f"fused_auto_d0_eval_b{big}_auto_ms"]
+    out["fused_auto_d0_eval_speedup"] = out[f"fused_auto_d0_eval_b{big}_speedup"]
+    out["fused_auto_max_batch"] = FUSED_DW_AUTO_MAX_BATCH
 
-    # device numerics spot-check on the same variables
-    small = xs[:2]
+    # device numerics spot-check on the same variables (b2 → XLA path on
+    # both models; the kernel path's own numerics live in the b1 predict
+    # parity of tests/test_dwconv_pallas.py)
+    small = jnp.asarray(rng.uniform(size=(2, size, size, 3))
+                        .astype(np.float32))
     ra = np.asarray(jax.jit(lambda v, a: base.apply(v, a, train=False)[0][0])(
         variables, small), np.float32)
     rb = np.asarray(jax.jit(lambda v, a: auto.apply(v, a, train=False)[0][0])(
         variables, small), np.float32)
     drift = float(np.max(np.abs(ra - rb)) / (np.max(np.abs(ra)) + 1e-9))
     print(f"rel head drift: {drift:.2e}")
+    out["fused_auto_d0_head_rel_drift"] = round(drift, 6)
 
-    out = {
-        "fused_auto_d0_eval_base_ms": round(t_b * 1e3, 3),
-        "fused_auto_d0_eval_auto_ms": round(t_a * 1e3, 3),
-        "fused_auto_d0_eval_speedup": round(t_b / t_a, 3),
-        "fused_auto_d0_head_rel_drift": round(drift, 6),
-    }
     path = os.path.join(ROOT, "baseline_measured.json")
     data = json.load(open(path)) if os.path.exists(path) else {}
     data.update(out)
@@ -99,5 +136,6 @@ def main(batch=32, size=512):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 512)
+    bs = tuple(int(b) for b in sys.argv[1].split(",")) if len(sys.argv) > 1 \
+        else (1, 8, 32, 64)
+    main(bs, int(sys.argv[2]) if len(sys.argv) > 2 else 512)
