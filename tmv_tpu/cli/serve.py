@@ -100,6 +100,17 @@ def parse_args():
             p.error("--anchorsFile is required (omit only with --artifact)")
         if args.int8 and args.int8Static:
             p.error("--int8 and --int8Static are mutually exclusive")
+        if args.int8Static and args.version == "v4" \
+                and not args.int8PerChannel:
+            # measured on the converged 256-image artifact
+            # (converged_map_v4.json): per-tensor static int8 collapses
+            # v4 mAP 0.904 -> 0.547 (v3's delta on the same recipe:
+            # -0.002) — outlier Mish activations in the PAN layers
+            # dominate the per-tensor absmax (int8_v4_probe.json)
+            print("WARNING: --int8Static with per-TENSOR scales loses "
+                  "~0.36 mAP on YOLOv4 (0.904 -> 0.547 measured, "
+                  "converged_map_v4.json). Add --int8PerChannel, or use "
+                  "bf16 for v4.", flush=True)
         if args.int8 and args.batch > 1:
             p.error("--int8 (dynamic) is only supported with --batch 1; "
                     "use --int8Static for batched throughput serving")

@@ -154,8 +154,11 @@ def main():
             "--lr", LR, "--warmupSteps", "0", "--modelPath", ckpt,
             "--earlyStopPatience", "0",
             # host staging is deterministic (CLAUDE.md): epochs 2+ serve
-            # from the uint8 memmap instead of re-decoding 256 JPEGs
-            "--cacheDir", os.path.join(root, f"cache_{version}"),
+            # from the uint8 memmap instead of re-decoding the N_IMAGES
+            # JPEGs each epoch.  Staged frames don't depend on the model
+            # version, so train and every eval pass share one cache dir
+            # (the StageCache fingerprint guards any mismatch).
+            "--cacheDir", os.path.join(root, "cache"),
         ])
 
     result = {"n_images": N_IMAGES,
@@ -187,6 +190,9 @@ def main():
                 "--modelPath", ckpt,
                 "--mode", mode, "--variant", variant,
                 "--confidenceThresh", "0.2", "--scoresThresh", "0.05",
+                # eval re-decodes the same frames as train: serve them
+                # from the shared staging cache instead (advisor r4)
+                "--cacheDir", os.path.join(root, "cache"),
             ] + extra)
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         result[key] = round(out["mAP"], 4)
