@@ -52,15 +52,30 @@ def _same_pads(size: int, k: int, s: int):
 
 def _dw_kernel_s1_folded(x_hbm, wt_ref, sc_ref, of_ref, out_ref, xwin, sem,
                          *, k: int, th: int, w_out: int, c: int,
-                         rows_win: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * th, rows_win)], xwin, sem)
-    dma.start()
-    dma.wait()
+                         rows_win: int, n_tiles: int, total: int):
+    """One (batch, row-tile) step of the flattened grid, double-buffered:
+    while tile t computes from window slot t%2, tile t+1's rows stream
+    from HBM into slot (t+1)%2 — the r4 kernel waited on each window
+    serially, which is the suspected source of its batch-scaling cliff
+    (VERDICT r4 item 8)."""
+    t = pl.program_id(0)
 
-    xw = xwin[:]
+    def window_copy(tt, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[tt // n_tiles, pl.ds((tt % n_tiles) * th, rows_win)],
+            xwin.at[slot], sem.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        window_copy(t, 0).start()
+
+    @pl.when(t + 1 < total)
+    def _():
+        window_copy(t + 1, (t + 1) % 2).start()
+
+    window_copy(t, t % 2).wait()
+
+    xw = xwin[t % 2]
     n = w_out * c
     acc = jnp.zeros((th, n), jnp.float32)
     for dy in range(k):
@@ -99,12 +114,14 @@ def _fused_s1(x, w, scale, offset, row_tile, interpret):
     w_out, pw_b, _ = _same_pads(width, k, 1)
 
     th = min(_round_up(row_tile, 8), _round_up(h_out, 8))
-    # shrink the tile until window + f32 accumulator + tap temporaries fit
+    # shrink the tile until windows + f32 accumulator + tap temporaries fit
     # comfortably in scoped VMEM (Mosaic stack-allocates the unrolled taps)
     wp_est = _round_up(width + k - 1, 8)
     bpe = x.dtype.itemsize
     while th > 8:
-        window = _round_up(th + k - 1, 8) * wp_est * c * bpe
+        # two input windows: the double-buffered scratch holds tile t
+        # while tile t+1 streams in
+        window = 2 * _round_up(th + k - 1, 8) * wp_est * c * bpe
         # Mosaic keeps ~all unrolled tap temporaries live on the kernel
         # stack (observed ≈ 0.75·k² accumulator-sized f32 buffers)
         work = k * k * th * width * c * 3
@@ -128,8 +145,8 @@ def _fused_s1(x, w, scale, offset, row_tile, interpret):
 
     out = pl.pallas_call(
         partial(_dw_kernel_s1_folded, k=k, th=th, w_out=w_out, c=c,
-                rows_win=rows_win),
-        grid=(b, n_tiles),
+                rows_win=rows_win, n_tiles=n_tiles, total=b * n_tiles),
+        grid=(b * n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # xf (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),           # wt
@@ -137,13 +154,13 @@ def _fused_s1(x, w, scale, offset, row_tile, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),           # offset row
         ],
         out_specs=pl.BlockSpec(
-            (1, th, n), lambda i, j: (i, j, 0),
+            (1, th, n), lambda t: (t // n_tiles, t % n_tiles, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * th, n), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_win, wp * c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows_win, wp * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xf, wt, sc, of)

@@ -189,15 +189,9 @@ def main():
         bench(416, results=results)
         bench(640, results=results)
     bench_d0(512, results=results)
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data.update({f"static_int8_bench_{k}": v for k, v in results.items()})
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured({f"static_int8_bench_{k}": v
+                     for k, v in results.items()})
 
 
 if __name__ == "__main__":

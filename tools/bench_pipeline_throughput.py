@@ -394,15 +394,8 @@ def main():
             "pipeline_bench_host_cpus": os.cpu_count(),
         }
         print(json.dumps(results))
-        out_path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "baseline_measured.json")
-        data = {}
-        if os.path.exists(out_path):
-            with open(out_path) as f:
-                data = json.load(f)
-        data.update(results)
-        with open(out_path, "w") as f:
-            json.dump(data, f, indent=2)
+        from tools._prov import update_measured
+        update_measured(results)
         return
 
     y_stage, y_iter = bench_yolo(img_dir, labels, classes)
@@ -429,15 +422,8 @@ def main():
         "pipeline_bench_host_cpus": os.cpu_count(),
     }
     print(json.dumps(results))
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data.update(results)
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured(results)
 
 
 if __name__ == "__main__":

@@ -143,14 +143,8 @@ def main():
     results = {}
     bench_yolo(608, 8, results)
     bench_d0(512, 8, results)
-    out_path = os.path.join(ROOT, "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data.update(results)
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured(results)
     print(json.dumps(results))
 
 

@@ -151,15 +151,8 @@ def main():
             **bench_host_path(),
         }
     print(json.dumps(results))
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data.update(results)
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured(results)
 
 
 if __name__ == "__main__":

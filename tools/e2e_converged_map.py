@@ -166,7 +166,7 @@ def main():
               "image_size": SIZE,
               "model": f"yolo_{version}"}
     # stability: evaluate twice with different eval batch compositions
-    for mode, variant, key, extra in (
+    passes = [
         ("batch", "reference", "mAP_ref_per_batch", []),
         ("global", "reference", "mAP_ref_global", []),
         ("global", "voc", "mAP_voc_global", []),
@@ -180,7 +180,15 @@ def main():
         # tools/probe_int8_v4_drop.py, tmv_tpu/quant/static.py)
         ("global", "reference", "mAP_ref_global_int8_static_pc",
          ["--int8Static", "--int8PerChannel"]),
-    ):
+    ]
+    if version == "v4":
+        # outlier-clipping margin sweep (per-tensor): isolates whether the
+        # collapse is scale-resolution (per-channel fixes it) or plain
+        # outlier range (clipping fixes it)
+        passes.append(("global", "reference",
+                       "mAP_ref_global_int8_static_m05",
+                       ["--int8Static", "--int8Margin", "0.5"]))
+    for mode, variant, key, extra in passes:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             run_cli("tmv_tpu.cli.eval_map", base + [

@@ -154,25 +154,13 @@ def main():
         bench_train(ystep, yst, ybatch, jax.random.key(0)), 1)
 
     print(json.dumps(results))
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    # drop the older, dispatch-confounded entries
-    for stale in ("efficientdet_d0_train_images_per_sec",
-                  "yolov4_416_train_images_per_sec",
-                  "yolov4_640_infer_images_per_sec"):
-        data.pop(stale, None)
-    data.update(results)
-    data["method_note"] = (
+    from tools._prov import update_measured
+    results["method_note"] = (
         "slope method: k-chained executions in one jit, host-fetched; "
         "cancels the ~30ms axon RPC floor and its unreliable "
         "block_until_ready"
     )
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    update_measured(results)
 
 
 if __name__ == "__main__":

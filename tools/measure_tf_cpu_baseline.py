@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 
 BATCH = 8
@@ -130,17 +134,13 @@ def main():
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data["efficientdet_d0_tf_cpu_ips"] = round(ips, 3)
-    data["tf_cpu_note"] = (
-        "equivalent-compute Keras-3 D0 graph; reference repo itself is "
-        "Keras-2-only and cannot run under this image's TF"
-    )
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured({
+        "efficientdet_d0_tf_cpu_ips": round(ips, 3),
+        "tf_cpu_note": (
+            "equivalent-compute Keras-3 D0 graph; reference repo itself "
+            "is Keras-2-only and cannot run under this image's TF"),
+    })
     print(f"wrote {out_path}")
 
 

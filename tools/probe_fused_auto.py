@@ -127,11 +127,8 @@ def main(batches=(1, 8, 32, 64), size=512):
     print(f"rel head drift: {drift:.2e}")
     out["fused_auto_d0_head_rel_drift"] = round(drift, 6)
 
-    path = os.path.join(ROOT, "baseline_measured.json")
-    data = json.load(open(path)) if os.path.exists(path) else {}
-    data.update(out)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2, sort_keys=True)
+    from tools._prov import update_measured
+    update_measured(out)
     print(json.dumps(out))
 
 

@@ -154,14 +154,8 @@ def main():
         probe_yolo(608, 16, results)
         probe_d0("efficientdet-d0", 0, 32, results)
         probe_d0("efficientdet-d4", 0, 4, results)
-    out_path = os.path.join(ROOT, "baseline_measured.json")
-    data = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            data = json.load(f)
-    data.update(results)
-    with open(out_path, "w") as f:
-        json.dump(data, f, indent=2)
+    from tools._prov import update_measured
+    update_measured(results)
     print(json.dumps(results))
 
 

@@ -168,10 +168,8 @@ def main(batch=32, size=512):
     out["stem_s2d_d0_train_speedup"] = round(t_tb / t_ts, 3)
 
     path = os.path.join(ROOT, "baseline_measured.json")
-    data = json.load(open(path)) if os.path.exists(path) else {}
-    data.update(out)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2, sort_keys=True)
+    from tools._prov import update_measured
+    update_measured(out)
     print(json.dumps(out))
 
 

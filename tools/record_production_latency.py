@@ -24,6 +24,10 @@ import glob
 import json
 import os
 
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(ROOT, "baseline_measured.json")
 
@@ -58,9 +62,8 @@ def main():
         f"(unletterbox+draw+encode, {resp} ms); the ~33 ms "
         "yolov4_640_p50_ms is the dev tunnel's RPC floor, not the product")
 
-    measured.update(out)
-    with open(BASELINE, "w") as f:
-        json.dump(measured, f, indent=1)
+    from tools._prov import update_measured
+    update_measured(out)
     print(json.dumps(out, indent=1))
 
 
