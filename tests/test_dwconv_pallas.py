@@ -46,6 +46,17 @@ class TestFusedDwConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_double_buffer_batch_boundaries(self, rng):
+        # r5 double-buffered DMA: step t prefetches tile t+1, which may
+        # belong to the NEXT batch element — odd batch × ragged tiles
+        # exercises every (batch, tile) boundary of the flattened grid
+        x, wt, scale, offset = make_case(rng, 5, 15, 9, 4, 3)
+        ref = dw_reference(x, wt, scale, offset, 1)
+        out = fused_dw_bn_swish(x, wt, scale, offset, 1,
+                                row_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_bf16_io(self, rng):
         x, wt, scale, offset = make_case(rng, 1, 12, 12, 8, 3)
         out = fused_dw_bn_swish(x.astype(jnp.bfloat16), wt, scale, offset,

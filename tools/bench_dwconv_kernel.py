@@ -11,9 +11,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-K_SMALL, K_LARGE = 1, 9
+# K_LARGE must be large: per-iter times are sub-ms while the axon
+# tunnel's RPC constant carries ~ms jitter — at K=9 the slope resolution
+# is ~0.2 ms and produced the r2 "XLA wins everywhere" table that the
+# r5 double-buffered kernel overturned (2-4x wins at the stem shape).
+K_SMALL, K_LARGE = 1, 129
 HBM_GBS = 819e9
-BATCH = 32
+BATCH = int(os.environ.get("TMV_DW_BATCH", "32"))
 
 # (hw, C, k, stride, repeats) — dw shapes of B0 @512 (see probe_backbone_ops)
 SHAPES = [

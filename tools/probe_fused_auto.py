@@ -23,7 +23,10 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-K_SMALL, K_LARGE = 1, 9
+# b1 runs ~1.5 ms/iter while the tunnel RPC jitters by ~1 ms: at
+# K_LARGE=9 the slope once measured a 0.14 ms full-model forward (r5).
+# K must be large enough that per-iter time x (K_LARGE-1) >> jitter.
+K_SMALL, K_LARGE = 1, 65
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
