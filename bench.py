@@ -30,7 +30,11 @@ import numpy as np
 
 BATCH_D0 = 64
 BATCH_YOLO = 16
-K_SMALL, K_LARGE = 1, 5
+# k is traced (one compile per program); 33 puts the slope basis for the
+# ~2.5 ms/iter p50 chains at ~80 ms, well above the tunnel's ~1 ms RPC
+# jitter — at K=5 the yolo p50 swung 2.56–3.30 ms across identical runs
+# and spuriously tripped the >5% regression gate (r5, /tmp/gate_r5.log)
+K_SMALL, K_LARGE = 1, 33
 ROOT = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(ROOT, "baseline_measured.json")
 FALLBACK_TF_CPU_IPS = 5.97
@@ -316,6 +320,10 @@ def _backend_alive(timeout_s: int = 150) -> bool:
     The axon tunnel can wedge such that backend init hangs forever inside
     ``make_c_api_client`` (observed 2026-08-17) — an in-process probe
     cannot be interrupted, so a hung tunnel would hang the whole bench.
+    The probe must run a real computation and host-fetch the result:
+    a half-wedged tunnel answers ``jax.devices()`` while every compile /
+    execute hangs (observed 2026-08-21, ~00:10), which slipped past the
+    devices()-only probe and hung the bench anyway.
     """
     import subprocess
     import sys
@@ -323,7 +331,10 @@ def _backend_alive(timeout_s: int = 150) -> bool:
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((128, 128));"
+             "v = float(jnp.sum(jnp.dot(x, x)));"
+             "print('ok' if v == 128.0 ** 3 else f'bad {v}')"],
             capture_output=True, text=True, timeout=timeout_s)
         return proc.returncode == 0 and "ok" in proc.stdout
     except subprocess.TimeoutExpired:

@@ -161,9 +161,13 @@ def main():
             "--cacheDir", os.path.join(root, "cache"),
         ])
 
+    # full run recipe in the artifact — prior rounds left hw/lr
+    # unrecorded, making exact regeneration guesswork
     result = {"n_images": N_IMAGES,
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
               "image_size": SIZE,
+              "image_hw_on_disk": HW,
+              "lr": LR,
               "model": f"yolo_{version}"}
     # stability: evaluate twice with different eval batch compositions
     passes = [

@@ -22,7 +22,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from e2e_converged_map import SIZE, N_IMAGES, make_dataset, run_cli
+from e2e_converged_map import HW, SIZE, N_IMAGES, make_dataset, run_cli
 
 EPOCHS = int(os.environ.get("TMV_CMAP_EPOCHS", "30"))
 STEPS_PER_EPOCH = int(os.environ.get("TMV_CMAP_STEPS", "100"))
@@ -34,7 +34,12 @@ def main():
     # the eval stage against the saved checkpoint (recovery path for an
     # eval-stage crash; the artifact records it)
     resume = os.environ.get("TMV_CMAP_RESUME_DIR")
-    root = resume or tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
+    # TMV_CMAP_KEEP=dir persists dataset + weights for later eval-only
+    # reruns (same convention as e2e_converged_map.py)
+    keep = os.environ.get("TMV_CMAP_KEEP", "")
+    root = resume or keep or tempfile.mkdtemp(prefix="tmv_converged_map_ed_")
+    if keep and not resume:
+        os.makedirs(keep, exist_ok=True)
     if not resume:
         make_dataset(root)
     ckpt = os.path.join(root, "weights")
@@ -55,9 +60,13 @@ def main():
             "--earlyStopPatience", "0",
         ])
 
+    # full run recipe in the artifact — prior rounds left hw/devaug
+    # unrecorded, making exact regeneration guesswork
     result = {"n_images": N_IMAGES,
               "train_steps": EPOCHS * STEPS_PER_EPOCH,
               "image_size": SIZE,
+              "image_hw_on_disk": HW,
+              "device_aug": bool(os.environ.get("TMV_CMAP_DEVAUG")),
               "model": "efficientdet-d0"}
     for mode, variant, key, extra in (
         ("batch", "reference", "mAP_ref_per_batch", []),

@@ -23,24 +23,37 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
-# b1 runs ~1.5 ms/iter while the tunnel RPC jitters by ~1 ms: at
-# K_LARGE=9 the slope once measured a 0.14 ms full-model forward (r5).
-# K must be large enough that per-iter time x (K_LARGE-1) >> jitter.
-K_SMALL, K_LARGE = 1, 65
+# Measurement lesson (r5, tools/probe_b1_serving_fused.py): a single
+# (1, K) pair is not trustworthy through the tunnel — K=65 once measured
+# a 0.14 ms b1 full-model forward (truth: 0.78 ms, 5.5x off).  Every
+# number here is now the mean of two *independent* K scales, and the
+# disagreement between them is reported as linearity error; per-batch K
+# is sized so the slope basis (iter_ms x K) is ~hundreds of ms.
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def slope_time(run, reps=3):
-    times = {}
-    for k in (K_SMALL, K_LARGE):
-        _ = run(k)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = run(k)
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-    return (times[K_LARGE] - times[K_SMALL]) / (K_LARGE - K_SMALL)
+def _pair_slope(run, k_small, k_large, reps=3):
+    for k in (k_small, k_large):
+        _ = run(k)  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = run(k_small)
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = run(k_large)
+        t_l = time.perf_counter() - t0
+        best = min(best, (t_l - t_s) / (k_large - k_small))
+    return best
+
+
+def slope_time(run, batch):
+    """(mean_s, linearity_err_pct) from two independent K scales."""
+    k1, k2 = (129, 257) if batch <= 8 else (33, 65)
+    a = _pair_slope(run, 1, k1)
+    b = _pair_slope(run, 1, k2)
+    mean = (a + b) / 2
+    return mean, abs(a - b) / mean * 100
 
 
 def build_models(size):
@@ -67,8 +80,9 @@ def model_chain(model, variables, xs):
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=2)
+    @jax.jit
     def run(v, a, kk):
+        # kk is traced: one compile serves every K scale
         def body(i, carry):
             boxes, classes = model.apply(v, carry, train=False)
             s = sum(jnp.sum(o.astype(jnp.float32))
@@ -97,15 +111,18 @@ def main(batches=(1, 8, 32, 64), size=512):
     for batch in batches:
         xs = jnp.asarray(rng.uniform(size=(batch, size, size, 3))
                          .astype(np.float32))
-        t_b = slope_time(model_chain(base, variables, xs))
-        t_a = slope_time(model_chain(auto, variables, xs))
+        t_b, lin_b = slope_time(model_chain(base, variables, xs), batch)
+        t_a, lin_a = slope_time(model_chain(auto, variables, xs), batch)
         engaged = batch <= FUSED_DW_AUTO_MAX_BATCH
         print(f"b{batch:3d}: base {t_b*1e3:8.3f} ms ({batch/t_b:7.0f} img/s)"
               f"   auto {t_a*1e3:8.3f} ms ({batch/t_a:7.0f} img/s)"
-              f"   ({t_b/t_a:4.2f}x, kernel {'ON' if engaged else 'off'})")
+              f"   ({t_b/t_a:4.2f}x, kernel {'ON' if engaged else 'off'}, "
+              f"linerr {max(lin_b, lin_a):.1f}%)")
         out[f"fused_auto_d0_eval_b{batch}_base_ms"] = round(t_b * 1e3, 3)
         out[f"fused_auto_d0_eval_b{batch}_auto_ms"] = round(t_a * 1e3, 3)
         out[f"fused_auto_d0_eval_b{batch}_speedup"] = round(t_b / t_a, 3)
+        out[f"fused_auto_d0_eval_b{batch}_linerr_pct"] = round(
+            max(lin_b, lin_a), 1)
         if engaged and t_b / t_a < 0.99:
             print(f"  WARNING: auto engages the kernel at b{batch} but "
                   f"loses {t_b/t_a:.2f}x — lower FUSED_DW_AUTO_MAX_BATCH")
