@@ -135,14 +135,14 @@ class TestFusedAutoMode:
 
         blocks = default_blocks_args()
         # B0 @512: block-arg dw-input spatials after the stem /2 and each
-        # stride-2 block
+        # stride-2 block (batch 8 = inside the auto batch window)
         hw_in = [256, 256, 128, 64, 32, 32, 16]
         expected = [True, False, False, False, False, False, False]
         for args, hw, want in zip(blocks, hw_in, expected):
             blk = MBConvBlock(args._replace(num_repeat=1),
                               fused_dw_eval="auto")
             filters = args.input_filters * args.expand_ratio
-            x = jax.ShapeDtypeStruct((1, hw, hw, filters), jnp.float32)
+            x = jax.ShapeDtypeStruct((8, hw, hw, filters), jnp.float32)
             assert blk._fused_dw(x, filters) is want, (args, hw)
 
     def test_auto_is_off_below_the_win_spatial(self):
@@ -155,6 +155,24 @@ class TestFusedAutoMode:
         blk = MBConvBlock(args, fused_dw_eval="auto")
         x = jax.ShapeDtypeStruct((1, 128, 128, 32), jnp.float32)
         assert blk._fused_dw(x, 32) is False
+
+    def test_auto_is_off_at_batch_1(self):
+        """Single-image serving rides XLA's own b1 graph: ~0.79 ms vs a
+        stable ~1.40 ms with the kernel engaged (1.8x loss, reproduced
+        across processes and interleaved blocks —
+        tools/probe_b1_interleave.py, serving_b1_* keys)."""
+        import jax
+
+        from tmv_tpu.models.efficientdet.backbone import (
+            FUSED_DW_AUTO_MIN_BATCH, MBConvBlock,
+        )
+        from tmv_tpu.models.efficientdet.config import default_blocks_args
+
+        args = default_blocks_args()[0]._replace(num_repeat=1)
+        blk = MBConvBlock(args, fused_dw_eval="auto")
+        x = jax.ShapeDtypeStruct((1, 256, 256, 32), jnp.float32)
+        assert blk._fused_dw(x, 32) is False
+        assert FUSED_DW_AUTO_MIN_BATCH > 1
 
     def test_auto_is_off_above_the_win_batch(self):
         """Round-4 regression guard: the auto predicate must route

@@ -25,8 +25,10 @@ def _resolve_fused_dw(value):
 
     Mirrors the NMS-backend convention (``ops/nms.py``): the Pallas
     depthwise kernel is used on its measured win region by default on TPU
-    (``"auto"``, +5% full-model D0@512 eval — tools/probe_fused_auto.py)
-    and never elsewhere; ``TMV_FUSED_DW=off|on|auto`` overrides.
+    (``"auto"``: micro-batches 2..32 only — single-image serving and the
+    b64 bench shape measurably prefer XLA's own graph, see the
+    FUSED_DW_AUTO_* comment in backbone.py) and never elsewhere;
+    ``TMV_FUSED_DW=off|on|auto`` overrides.
     """
     env = os.environ.get("TMV_FUSED_DW", "").lower()
     if env:
