@@ -71,12 +71,12 @@ def make_chain(apply_fn):
     return chain
 
 
-def slope_time(run, reps=3):
+def slope_time(run, reps=5):
     """Per-iteration device seconds of ``run(k)`` via the slope method."""
     return slope_stats(run, reps)[0]
 
 
-def slope_stats(run, reps=3):
+def slope_stats(run, reps=5):
     """(best_slope_s, stddev_pct) of ``run(k)`` via the slope method.
 
     Each rep produces one independent slope estimate from a fresh

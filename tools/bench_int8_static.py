@@ -54,33 +54,40 @@ def bench(size=416, batch=16, results=None):
     # offline calibration over a few batches (image-statistics inputs)
     calib = [jnp.asarray(rng.uniform(size=(2, size, size, 3))
                          .astype(np.float32)) for _ in range(3)]
-    qv = prepare_static_int8_variables(
-        v, calibrate_model(model, v, calib, train=False))
+    stats = calibrate_model(model, v, calib, train=False)
+    qv = prepare_static_int8_variables(v, stats)
+    # per-input-channel activation scales (the recommended v4 mode after
+    # the per-tensor mAP collapse): scales fold into the pre-quantized
+    # weights offline, so the runtime graph should cost the same — this
+    # records the evidence instead of asserting it
+    qv_pc = prepare_static_int8_variables(v, stats, per_channel=True)
 
-    def make_chain(mode):
-        def fwd(vv, a):
-            heads = model.apply(vv, a, train=False)
+    def make_chain(mode, vv):
+        def fwd(vv_, a):
+            heads = model.apply(vv_, a, train=False)
             return sum(jnp.sum(h.astype(jnp.float32)) for h in heads)
 
         with quantized(mode):
             @jax.jit
-            def chain(vv, a, k):
+            def chain(vv_, a, k):
                 def body(i, carry):
-                    s = fwd(vv, carry)
+                    s = fwd(vv_, carry)
                     return carry + (s * 1e-12).astype(carry.dtype)
                 return jnp.sum(
                     jax.lax.fori_loop(0, k, body, a).astype(jnp.float32))
 
-            _ = chain.lower(qv if mode == "int8_static" else v, x, 1)
+            _ = chain.lower(vv, x, 1)
         return chain
 
-    chain_p = make_chain("off")
-    chain_d = make_chain("int8")
-    chain_s = make_chain("int8_static")
+    chain_p = make_chain("off", v)
+    chain_d = make_chain("int8", v)
+    chain_s = make_chain("int8_static", qv)
+    chain_pc = make_chain("int8_static", qv_pc)
 
     t_p = slope_time(lambda k: np.asarray(chain_p(v, x, k)))
     t_d = slope_time(lambda k: np.asarray(chain_d(v, x, k)))
     t_s = slope_time(lambda k: np.asarray(chain_s(qv, x, k)))
+    t_pc = slope_time(lambda k: np.asarray(chain_pc(qv_pc, x, k)))
 
     # head drift vs f32 reference
     model32 = YoloV4(classes_num=80, dtype=jnp.float32)
@@ -98,16 +105,22 @@ def bench(size=416, batch=16, results=None):
 
     d_d = drift_of("int8", v)
     d_s = drift_of("int8_static", qv)
+    d_pc = drift_of("int8_static", qv_pc)
 
     print(f"YOLOv4 @{size} b{batch}: bf16 {t_p*1e3:7.2f} ms "
           f"({batch/t_p:.0f} img/s) | dyn-int8 {t_d*1e3:7.2f} ms "
           f"({t_p/t_d:.2f}x, drift {d_d:.3f}) | static-int8 "
-          f"{t_s*1e3:7.2f} ms ({t_p/t_s:.2f}x, drift {d_s:.3f})")
+          f"{t_s*1e3:7.2f} ms ({t_p/t_s:.2f}x, drift {d_s:.3f}) | "
+          f"static-int8-pc {t_pc*1e3:7.2f} ms ({t_p/t_pc:.2f}x, "
+          f"drift {d_pc:.3f})")
     if results is not None:
         results[f"yolov4_{size}_bf16_ms"] = round(t_p * 1e3, 2)
         results[f"yolov4_{size}_int8_dynamic_speedup"] = round(t_p / t_d, 3)
         results[f"yolov4_{size}_int8_static_speedup"] = round(t_p / t_s, 3)
         results[f"yolov4_{size}_int8_static_head_drift"] = round(d_s, 3)
+        results[f"yolov4_{size}_int8_static_pc_speedup"] = round(
+            t_p / t_pc, 3)
+        results[f"yolov4_{size}_int8_static_pc_head_drift"] = round(d_pc, 3)
 
 
 def bench_d0(size=512, batch=32, results=None):
