@@ -209,6 +209,11 @@ def main():
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         result[key] = round(out["mAP"], 4)
 
+    # same per-batch-vs-global explanation as the ED artifact (r4 weak #5)
+    result["mAP_ref_per_batch_note"] = (
+        "reference quirk semantics: utils/mAP.py accumulates AP over "
+        "16-image eval buckets, so classes missing from a bucket score 0 "
+        "for it; the global variant is the headline metric")
     result["wall_sec"] = round(time.time() - t0, 1)
     if resume:
         result["resumed_eval_only"] = True

