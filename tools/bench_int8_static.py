@@ -198,10 +198,13 @@ def bench_d0(size=512, batch=32, results=None):
 
 def main():
     results = {}
-    if "--d0-only" not in sys.argv:
-        bench(416, results=results)
+    if "--640-only" in sys.argv:  # the headline int8 serving shape
         bench(640, results=results)
-    bench_d0(512, results=results)
+    else:
+        if "--d0-only" not in sys.argv:
+            bench(416, results=results)
+            bench(640, results=results)
+        bench_d0(512, results=results)
     from tools._prov import update_measured
     update_measured({f"static_int8_bench_{k}": v
                      for k, v in results.items()})
