@@ -204,8 +204,15 @@ def prev_round_comparison(current):
         ratio = new / old
         worse = ratio < 0.95 if higher_better else ratio > 1.05
         if worse:
-            regressions.append(
-                f"{key}: {old} -> {new} ({(ratio - 1) * 100:+.1f}%)")
+            line = f"{key}: {old} -> {new} ({(ratio - 1) * 100:+.1f}%)"
+            # tunnel-p50 keys: identical code measured 2.56-3.51 ms
+            # across r5 runs (and a byte-identical int8 program moved
+            # 1.46x->0.99x across backend days, PARITY §6) — annotate,
+            # never suppress, so the flag carries its own context
+            if "p50" in key and ratio <= 1.40:
+                line += (" [within the measured same-code backend-drift "
+                         "band; see p50_cross_run_note]")
+            regressions.append(line)
     out = {"prev_round_file": os.path.basename(benches[-1]),
            "regressions_gt_5pct": regressions}
     if isinstance(prev_flat.get("value"), (int, float)) and prev_flat["value"]:
@@ -391,8 +398,10 @@ def main():
     yolo_sec, yolo_std_pct = slope_stats(yolo_fwd_run)
     d0_ips = BATCH_D0 / d0_sec
     yolo_ips = BATCH_YOLO / yolo_sec
-    p50_device_ms = slope_time(yolo_predict_run) * 1000
-    d0_p50_device_ms = slope_time(d0_predict_run) * 1000
+    p50_device_ms, p50_std_pct = slope_stats(yolo_predict_run)
+    p50_device_ms *= 1000
+    d0_p50_device_ms, d0_p50_std_pct = slope_stats(d0_predict_run)
+    d0_p50_device_ms *= 1000
 
     # e2e through the tunnel: the compiled predict chain at k=1
     wall = []
@@ -482,6 +491,17 @@ def main():
             p50_e2e_ms, 3),
         "efficientdet_d0_ips_run_stddev_pct": d0_std_pct,
         "yolov4_640_ips_run_stddev_pct": yolo_std_pct,
+        "yolov4_640_p50_run_stddev_pct": p50_std_pct,
+        "efficientdet_d0_p50_run_stddev_pct": d0_p50_std_pct,
+        # cross-RUN (not in-run) spread observed r5 on identical code:
+        # yolo p50 2.56-3.51 ms across three full benches in one day, and
+        # a byte-identical int8 program moved 1.46x -> 0.99x across
+        # backends (PARITY §6 "backend-dependent") — cross-round deltas
+        # inside this band are remote-backend drift, not repo changes
+        "p50_cross_run_note": (
+            "remote XLA backend drifts day-to-day: identical programs "
+            "measured yolo p50 2.56-3.51 ms across r5 runs; compare "
+            "cross-round p50s against *_p50_run_stddev_pct AND this band"),
         **roofline_keys("efficientdet_d0", *d0_roofline, BATCH_D0, d0_sec),
         **roofline_keys("yolov4_640", *yolo_roofline, BATCH_YOLO, yolo_sec),
         "peak_bf16_tflops": PEAK_BF16_TFLOPS,
