@@ -192,6 +192,12 @@ def main():
         passes.append(("global", "reference",
                        "mAP_ref_global_int8_static_m05",
                        ["--int8Static", "--int8Margin", "0.5"]))
+        # pc+clipping combo (r5 measured 0.827 < pc-alone 0.852: clipping
+        # on top of per-channel HURTS — per-channel alone is the v4 mode)
+        passes.append(("global", "reference",
+                       "mAP_ref_global_int8_static_pc_m05",
+                       ["--int8Static", "--int8PerChannel",
+                        "--int8Margin", "0.5"]))
     for mode, variant, key, extra in passes:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
